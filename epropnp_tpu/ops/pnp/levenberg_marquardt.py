@@ -157,9 +157,11 @@ class LMSolver:
 
             dof = self.dof
             num_obj = x2d.shape[0]
-            carry0 = (pose_opt,
-                      jnp.zeros((num_obj, dof, dof), x2d.dtype),
-                      jnp.zeros((num_obj,), x2d.dtype))
+            dtype = jnp.result_type(x3d.dtype, x2d.dtype, w2d.dtype,
+                                    camera.cam_mats.dtype)
+            carry0 = (pose_opt.astype(dtype),
+                      jnp.zeros((num_obj, dof, dof), dtype),
+                      jnp.zeros((num_obj,), dtype))
             pose_opt, jtj, cost = jax.lax.fori_loop(
                 0, self.num_iter, gn_body, carry0)
             pose_cov = jnp.linalg.inv(jtj) if with_pose_cov else None
@@ -171,7 +173,8 @@ class LMSolver:
         ev0 = evaluate_fun(pose_opt, out_jacobian=True, out_residual=True,
                            out_cost=True)
         num_obj = x2d.shape[0]
-        dtype = x2d.dtype
+        dtype = ev0.cost.dtype  # follows input promotion (e.g. f64 cam_mats)
+        pose_opt = pose_opt.astype(dtype)
         radius = jnp.full((num_obj,), self.initial_trust_region_radius, dtype)
         decrease_factor = jnp.full((num_obj,), 2.0, dtype)
 
