@@ -112,7 +112,7 @@ def test_train_step_multi_device_pmean():
         wrapped, mesh=mesh,
         in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
-        check_rep=False))
+        check_vma=False))
     new_state, metrics = sharded(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(metrics['loss']))
     # replicated outputs are identical across devices after pmean
