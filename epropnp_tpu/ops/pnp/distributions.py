@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, i0e
 
+from .linalg import cholesky_small, tri_solve_lower
+
 
 def batch_mahalanobis(scale_tril, diff):
     """Squared Mahalanobis norm ``diff^T (L L^T)^{-1} diff`` with batching.
@@ -33,8 +35,8 @@ def batch_mahalanobis(scale_tril, diff):
     batch = jnp.broadcast_shapes(scale_tril.shape[:-2], diff.shape[:-1])
     L = jnp.broadcast_to(scale_tril, batch + (d, d))
     x = jnp.broadcast_to(diff, batch + (d,))
-    sol = jax.scipy.linalg.solve_triangular(L, x[..., None], lower=True)
-    return jnp.sum(jnp.square(sol[..., 0]), axis=-1)
+    sol = tri_solve_lower(L, x)
+    return jnp.sum(jnp.square(sol), axis=-1)
 
 
 def half_log_det(scale_tril):
@@ -51,7 +53,7 @@ def cholesky_wrapper(mat, default_diag=None):
     ``where`` on finiteness.
     """
     n = mat.shape[-1]
-    tril = jnp.linalg.cholesky(mat)
+    tril = cholesky_small(mat)
     ok = jnp.all(jnp.isfinite(tril), axis=(-2, -1), keepdims=True)
     if default_diag is not None:
         default = jnp.diag(jnp.asarray(default_diag, dtype=mat.dtype))

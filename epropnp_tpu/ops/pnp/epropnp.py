@@ -30,6 +30,7 @@ from .distributions import (
     VonMisesUniformMix,
     cholesky_wrapper,
 )
+from .linalg import det_small, inv_spd_small
 from .levenberg_marquardt import LMSolver
 
 
@@ -238,13 +239,13 @@ class EProPnP6DoF(EProPnPBase):
 
         eye4 = jnp.eye(4, dtype=pose_opt.dtype)
         tf = camera.get_quaternion_transfrom_mat(rot_mode)  # (num_obj, 4, 3)
-        rot_cov = jnp.linalg.inv(
-            tf @ jnp.linalg.inv(pose_cov[..., 3:, 3:])
+        rot_cov = inv_spd_small(
+            tf @ inv_spd_small(pose_cov[..., 3:, 3:])
             @ jnp.swapaxes(tf, -1, -2) + eye4)
         rot_cov = rot_cov / jnp.trace(
             rot_cov, axis1=-2, axis2=-1)[..., None, None]
         rot_cov_tril = cholesky_wrapper(
-            rot_cov + jnp.linalg.det(rot_cov)[..., None, None] ** 0.25
+            rot_cov + det_small(rot_cov)[..., None, None] ** 0.25
             * (self.acg_dispersion * eye4))
         return trans_mode, trans_cov_tril, rot_cov_tril
 
@@ -280,12 +281,12 @@ class EProPnP6DoF(EProPnPBase):
         num_obj = pose_samples.shape[1]
         rot_cov = jnp.broadcast_to(eye4, (num_obj, 4, 4))
         for _ in range(self.acg_mle_iter):
-            m = jnp.einsum('cbi,bij,cbj->cb', rot, jnp.linalg.inv(rot_cov), rot)
+            m = jnp.einsum('cbi,bij,cbj->cb', rot, inv_spd_small(rot_cov), rot)
             inv_m_w = w / jnp.maximum(m, self.eps)             # (c, num_obj)
             inv_m_wn = inv_m_w / jnp.sum(inv_m_w, axis=0)
             rot_cov = jnp.sum(inv_m_wn[..., None, None] * r_r_t, axis=0) \
                 + eye4 * self.eps
         rot_cov_tril = cholesky_wrapper(
-            rot_cov + jnp.linalg.det(rot_cov)[..., None, None] ** 0.25
+            rot_cov + det_small(rot_cov)[..., None, None] ** 0.25
             * (self.acg_dispersion * eye4))
         return trans_mode, trans_cov_tril, rot_cov_tril

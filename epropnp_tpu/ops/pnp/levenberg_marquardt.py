@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import evaluate_pnp, pnp_denormalize, pnp_normalize
+from .linalg import inv_spd_small, solve_3x3, solve_spd_small
 
 
 def _stop_grad(*trees):
@@ -152,7 +153,7 @@ class LMSolver:
                 jtj = _jtj_damped_const(ev.jacobian, self.eps)
                 gradient = jnp.einsum('...ji,...j->...i', ev.jacobian,
                                       ev.residual)
-                step = -jnp.linalg.solve(jtj, gradient[..., None])[..., 0]
+                step = -solve_spd_small(jtj, gradient)
                 return self.pose_add(pose, step, camera), jtj, ev.cost
 
             dof = self.dof
@@ -164,7 +165,7 @@ class LMSolver:
                       jnp.zeros((num_obj,), dtype))
             pose_opt, jtj, cost = jax.lax.fori_loop(
                 0, self.num_iter, gn_body, carry0)
-            pose_cov = jnp.linalg.inv(jtj) if with_pose_cov else None
+            pose_cov = inv_spd_small(jtj) if with_pose_cov else None
             if not with_cost:
                 cost = None
             return pose_opt, pose_cov, cost
@@ -190,7 +191,7 @@ class LMSolver:
             jtj_lm = _set_diagonal(jtj, diag_lm)
 
             gradient = jnp.einsum('...ij,...j->...i', jac_t, residual)
-            step = -jnp.linalg.solve(jtj_lm, gradient[..., None])[..., 0]
+            step = -solve_spd_small(jtj_lm, gradient)
 
             pose_new = self.pose_add(pose, step, camera)
             ev = evaluate_fun(pose_new, out_jacobian=True, out_residual=True,
@@ -225,7 +226,7 @@ class LMSolver:
         if with_pose_cov:
             jtj = jnp.swapaxes(jac, -1, -2) @ jac
             jtj = _set_diagonal(jtj, _diagonal(jtj) + self.eps)
-            pose_cov = jnp.linalg.inv(jtj)
+            pose_cov = inv_spd_small(jtj)
         if not with_cost:
             cost = None
         return pose_opt, pose_cov, cost
@@ -242,7 +243,7 @@ class LMSolver:
         jtj = jac_t @ ev.jacobian \
             + jnp.eye(self.dof, dtype=x2d.dtype) * self.eps
         gradient = jnp.einsum('...ij,...j->...i', jac_t, ev.residual)
-        return -jnp.linalg.solve(jtj, gradient[..., None])[..., 0]
+        return -solve_spd_small(jtj, gradient)
 
     def pose_add(self, pose_opt, step, camera):
         """Tangent-space pose update. Reference: :255-265."""
@@ -293,7 +294,7 @@ class RSLMSolver(LMSolver):
         """Translation init matching 2D/3D point spread (reference :283-298)."""
         x2dh = jnp.concatenate([x2d, jnp.ones_like(x2d[..., :1])], axis=-1)
         x2dc = jnp.swapaxes(
-            jnp.linalg.solve(camera.cam_mats, jnp.swapaxes(x2dh, -1, -2)),
+            solve_3x3(camera.cam_mats, jnp.swapaxes(x2dh, -1, -2)),
             -1, -2)
         x2dc = x2dc[..., :2] / jnp.maximum(x2dc[..., 2:], eps)
         x2dc_mean = jnp.mean(x2dc, axis=-2)
@@ -324,10 +325,13 @@ class RSLMSolver(LMSolver):
         logits = jnp.log(jnp.maximum(mean_weight, 1e-30))
         gumbel = jax.random.gumbel(k_inds, (p, bs, pn), dtype=x2d.dtype)
         _, inds = jax.lax.top_k(logits[None] + gumbel, self.num_points)
-        # (p, bs, num_points, c)
-        x2d_samples = jnp.take_along_axis(x2d[None], inds[..., None], axis=2)
-        x3d_samples = jnp.take_along_axis(x3d[None], inds[..., None], axis=2)
-        w2d_samples = jnp.take_along_axis(w2d[None], inds[..., None], axis=2)
+        # (p, bs, num_points, c): gather per (proposal, object) WITHOUT
+        # broadcasting the source to (p, bs, pn, c) first — the broadcast
+        # materializes ~p x the point set in HBM.
+        b_inds = jnp.arange(bs)[None, :, None]
+        x2d_samples = x2d[b_inds, inds]
+        x3d_samples = x3d[b_inds, inds]
+        w2d_samples = w2d[b_inds, inds]
 
         t_init = jnp.broadcast_to(
             self.center_based_init(x2d, x3d, camera), (p, bs, 3))
