@@ -99,52 +99,93 @@ class EProPnPBase:
             normalize_override=False, **kwargs)
 
         # Proposal params are fitted under stop_gradient (reference :139-140).
-        params = [None] * t
-        params[0] = jax.lax.stop_gradient(
+        # TPU restructuring: the AMIS loop is a ``lax.scan`` over a constant
+        # number of iterations — the body traces ONCE (the reference's
+        # triangular ``logprobs[i, :i+1]`` updates become full-width writes
+        # masked at the mixture stage), which keeps the compiled graph ~t x
+        # smaller than unrolling. Proposal-parameter buffers are (t, ...)
+        # stacked arrays updated at the loop index.
+        params0 = jax.lax.stop_gradient(
             self.initial_fit(pose_opt, pose_cov, camera))
+        # Buffers live in the sample dtype: estimate_params refits them from
+        # (x3d-dtype) samples each iteration, and dynamic updates require a
+        # dtype match even when the initial fit was promoted (e.g. f64 cam).
+        params_buf = jax.tree_util.tree_map(
+            lambda a: jnp.zeros((t,) + a.shape, x3d.dtype).at[0].set(
+                a.astype(x3d.dtype)),
+            params0)
 
         pose_dim = pose_opt.shape[-1]
         pose_samples = jnp.zeros((t, s, num_obj, pose_dim), x3d.dtype)
         logprobs = jnp.zeros((t, t, s, num_obj), x3d.dtype)
         cost_pred = jnp.zeros((t, s, num_obj), x3d.dtype)
         iter_keys = jax.random.split(k_amis, t)
+        neg_inf = jnp.asarray(-jnp.inf, x3d.dtype)
+        iota_t = jnp.arange(t)
 
-        pose_sample_logweights = None
-        for i in range(t):
+        def amis_iter(carry, scan_in):
+            params_buf, pose_samples, logprobs, cost_pred = carry
+            i, key = scan_in
+            params_i = jax.tree_util.tree_map(lambda a: a[i], params_buf)
+
             # ===== step 1: sample from the newest proposal =====
-            new_trans, new_rot = self.gen_new_distr(params[i])
-            k_t, k_r = jax.random.split(iter_keys[i])
+            new_trans, new_rot = self.gen_new_distr(params_i)
+            k_t, k_r = jax.random.split(key)
             trans_samples = new_trans.sample(k_t, (s,))
             rot_samples = new_rot.sample(k_r, (s,))
-            pose_samples = pose_samples.at[i].set(jax.lax.stop_gradient(
-                jnp.concatenate([trans_samples, rot_samples], axis=-1)))
+            samples_i = jax.lax.stop_gradient(
+                jnp.concatenate([trans_samples, rot_samples], axis=-1))
+            pose_samples = pose_samples.at[i].set(samples_i)
 
             # ===== step 2: evaluate the integrand (differentiable) =====
-            cost_pred = cost_pred.at[i].set(eval_cost(pose_samples[i]))
+            cost_pred = cost_pred.at[i].set(eval_cost(samples_i))
 
             # ===== step 3: proposal mixture logprobs =====
-            # new distr on all samples so far: (i + 1, s, num_obj)
-            lp_new = new_trans.log_prob(pose_samples[:i + 1, :, :, :3]) \
-                + _flatten2(new_rot.log_prob(pose_samples[:i + 1, :, :, 3:]))
-            logprobs = logprobs.at[i, :i + 1].set(lp_new)
-            if i > 0:
-                old_trans, old_rot = self.gen_old_distr(params[:i])
-                lp_old = old_trans.log_prob(pose_samples[i, :, :, :3]) \
-                    + _flatten2(old_rot.log_prob(pose_samples[i, :, :, 3:]))
-                logprobs = logprobs.at[:i, i].set(lp_old)
-            mix_logprobs = jax.scipy.special.logsumexp(
-                logprobs[:i + 1, :i + 1], axis=0) - math.log(i + 1)
+            # New distr on ALL sample rows (rows > i are placeholders,
+            # masked out of the mixture): (t, s, num_obj).
+            lp_new = new_trans.log_prob(pose_samples[..., :3]) \
+                + _flatten2(new_rot.log_prob(pose_samples[..., 3:]))
+            # All stacked distrs (rows > i placeholders) on the new samples.
+            old_trans, old_rot = self.gen_stacked_distr(params_buf)
+            lp_all = old_trans.log_prob(samples_i[..., :3]) \
+                + _flatten2(old_rot.log_prob(samples_i[..., 3:]))
+            logprobs = logprobs.at[:, i].set(lp_all)
+            logprobs = logprobs.at[i, :].set(lp_new)
 
-            # ===== step 4: sample log weights =====
-            pose_sample_logweights = -cost_pred[:i + 1] - mix_logprobs
+            # Mixture over valid proposals only (reference's triangular
+            # structure): distr row j participates iff j <= i.
+            valid_distr = (iota_t <= i)[:, None, None, None]
+            mix_logprobs = jax.scipy.special.logsumexp(
+                jnp.where(valid_distr, logprobs, neg_inf), axis=0
+            ) - jnp.log(i + 1.0).astype(x3d.dtype)
+
+            # ===== step 4: sample log weights (sample rows > i masked) =====
+            valid_sample = (iota_t <= i)[:, None, None]
+            logweights = jnp.where(
+                valid_sample, -cost_pred - mix_logprobs, neg_inf)
 
             # ===== step 5: fit the next proposal =====
-            if i == t - 1:
-                break
-            params[i + 1] = jax.lax.stop_gradient(self.estimate_params(
-                pose_samples[:i + 1].reshape((i + 1) * s, num_obj, pose_dim),
-                jax.lax.stop_gradient(pose_sample_logweights).reshape(
-                    (i + 1) * s, num_obj)))
+            new_params = jax.lax.stop_gradient(self.estimate_params(
+                jax.lax.stop_gradient(pose_samples).reshape(
+                    t * s, num_obj, pose_dim),
+                jax.lax.stop_gradient(logweights).reshape(t * s, num_obj)))
+            # On the last iteration the write lands back on row i (clamped
+            # dynamic index), after its final read — harmless.
+            params_buf = jax.tree_util.tree_map(
+                lambda buf, p: jax.lax.dynamic_update_index_in_dim(
+                    buf, p, jnp.minimum(i + 1, t - 1), 0),
+                params_buf, new_params)
+            return (params_buf, pose_samples, logprobs, cost_pred), None
+
+        (params_buf, pose_samples, logprobs, cost_pred), _ = jax.lax.scan(
+            amis_iter,
+            (params_buf, pose_samples, logprobs, cost_pred),
+            (jnp.arange(t), iter_keys))
+
+        # Final mixture over all t proposals (all rows valid).
+        mix_logprobs = jax.scipy.special.logsumexp(
+            logprobs, axis=0) - math.log(t)
+        pose_sample_logweights = -cost_pred - mix_logprobs
 
         pose_samples = pose_samples.reshape(self.mc_samples, num_obj, pose_dim)
         pose_sample_logweights = pose_sample_logweights.reshape(
@@ -193,13 +234,17 @@ class EProPnP4DoF(EProPnPBase):
                 VonMisesUniformMix(rot_mode, rot_kappa))
 
     @staticmethod
-    def gen_old_distr(params_list):
-        trans_mode = jnp.stack([p[0] for p in params_list])[:, None]
-        trans_cov_tril = jnp.stack([p[1] for p in params_list])[:, None]
-        rot_mode = jnp.stack([p[2] for p in params_list])[:, None]
-        rot_kappa = jnp.stack([p[3] for p in params_list])[:, None]
+    def gen_stacked_distr(params):
+        """Distributions over stacked (t, ...) proposal-parameter buffers."""
+        trans_mode, trans_cov_tril, rot_mode, rot_kappa = (
+            p[:, None] for p in params)
         return (MultivariateStudentT(3.0, trans_mode, trans_cov_tril),
                 VonMisesUniformMix(rot_mode, rot_kappa))
+
+    @classmethod
+    def gen_old_distr(cls, params_list):
+        return cls.gen_stacked_distr(
+            tuple(jnp.stack(ps) for ps in zip(*params_list)))
 
     def estimate_params(self, pose_samples, pose_sample_logweights):
         """Weighted translation moments + circular yaw statistics.
@@ -256,12 +301,17 @@ class EProPnP6DoF(EProPnPBase):
                 AngularCentralGaussian(rot_cov_tril))
 
     @staticmethod
-    def gen_old_distr(params_list):
-        trans_mode = jnp.stack([p[0] for p in params_list])[:, None]
-        trans_cov_tril = jnp.stack([p[1] for p in params_list])[:, None]
-        rot_cov_tril = jnp.stack([p[2] for p in params_list])[:, None]
+    def gen_stacked_distr(params):
+        """Distributions over stacked (t, ...) proposal-parameter buffers."""
+        trans_mode, trans_cov_tril, rot_cov_tril = (
+            p[:, None] for p in params)
         return (MultivariateStudentT(3.0, trans_mode, trans_cov_tril),
                 AngularCentralGaussian(rot_cov_tril))
+
+    @classmethod
+    def gen_old_distr(cls, params_list):
+        return cls.gen_stacked_distr(
+            tuple(jnp.stack(ps) for ps in zip(*params_list)))
 
     def estimate_params(self, pose_samples, pose_sample_logweights):
         """Weighted moments + fixed-point ACG maximum likelihood.

@@ -1,0 +1,112 @@
+"""6DoF suite training/eval driver.
+
+The TPU equivalent of the reference CLI entry (EPro-PnP-6DoF/tools/main.py:
+44-106): build model + optimizer + state, per-epoch train loop (the LR step
+decay lives inside the optax schedule), periodic checkpoint + eval. Data
+parallelism is a 1-D device mesh with a shard_map'd train step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.cdpn import CDPN
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import get_logger
+from ..utils.meters import AverageMeter
+from . import ref_constants as ref
+from . import train as train_lib
+from .config import SixDoFConfig
+
+
+def build_all(cfg: SixDoFConfig, steps_per_epoch: int = 1,
+              axis_name: Optional[str] = None, cam_intrinsic=None):
+    """Model + PnP + optimizer + train step builder."""
+    model = CDPN(depth=cfg.network.back_layers_num)
+    epropnp = train_lib.build_epropnp(cfg)
+    tx = train_lib.make_optimizer(cfg, steps_per_epoch)
+    cam = jnp.asarray(
+        ref.CAMERA_MATRIX if cam_intrinsic is None else cam_intrinsic,
+        jnp.float32)
+    step_fn = train_lib.make_train_step(model, epropnp, cfg, tx, cam,
+                                        axis_name=axis_name)
+    return model, epropnp, tx, step_fn
+
+
+def init_state(cfg: SixDoFConfig, model, tx, rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    img = jnp.zeros((1, cfg.dataiter.inp_res, cfg.dataiter.inp_res, 3),
+                    jnp.float32)
+    variables = model.init(rng, img, train=False)
+    return train_lib.TrainState.create(variables, tx)
+
+
+def make_sharded_step(step_fn, n_devices: Optional[int] = None):
+    """Wrap the train step in a data-parallel shard_map over all devices."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    mesh = Mesh(np.array(devices), ('data',))
+    batch_spec = train_lib.Batch(*([P('data')] * len(train_lib.Batch._fields)))
+    return jax.jit(shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False))
+
+
+def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
+               resume_from: Optional[str] = None,
+               data_parallel: bool = False, log_interval: int = 20,
+               test_interval: int = 5, seed: int = 0):
+    """Epoch loop over a ``LineMODDataset`` (or any Batch iterator factory).
+
+    ``dataset.batches(batch_size, shuffle, seed)`` must yield Batch tuples.
+    """
+    logger = get_logger('epropnp_tpu.6dof', save_dir)
+    n_batches = max(len(dataset) // cfg.train.train_batch_size, 1)
+    model, _, tx, step_fn = build_all(
+        cfg, steps_per_epoch=n_batches,
+        axis_name='data' if data_parallel else None)
+    state = init_state(cfg, model, tx, jax.random.PRNGKey(seed))
+    if cfg.load_model:
+        state = load_checkpoint(cfg.load_model, state,
+                                filter_fn=lambda k: k == 'params')
+        logger.info('loaded params from %s', cfg.load_model)
+    if resume_from:
+        state = load_checkpoint(resume_from, state)
+        logger.info('resumed full state from %s', resume_from)
+
+    step = make_sharded_step(step_fn) if data_parallel else jax.jit(step_fn)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    for epoch in range(cfg.train.begin_epoch, cfg.train.end_epoch):
+        meters = {}
+        t0 = time.time()
+        for i, batch in enumerate(
+                dataset.batches(cfg.train.train_batch_size, shuffle=True,
+                                seed=seed + epoch)):
+            rng, k = jax.random.split(rng)
+            state, metrics = step(state, batch, k)
+            if i % log_interval == 0:
+                m = jax.device_get(metrics)
+                for name, v in m.items():
+                    meters.setdefault(name, AverageMeter()).update(
+                        float(np.ravel(v)[0]))
+                logger.info(
+                    'epoch %d iter %d/%d: %s (%.1fs)', epoch, i, n_batches,
+                    ' '.join(f'{n}={mt.val:.4f}'
+                             for n, mt in meters.items()),
+                    time.time() - t0)
+        ckpt = os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack')
+        save_checkpoint(ckpt, state)
+        save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
+        logger.info('epoch %d done, checkpoint -> %s', epoch, ckpt)
+    return state
