@@ -1,0 +1,74 @@
+"""Fixed-shape non-maximum suppression (rotated and axis-aligned).
+
+The reference suppresses with a 64-thread bitmask CUDA kernel
+(iou3d_kernel.cu:284-379). TPU-native: precompute the all-pairs IoU matrix
+in score order (one big vectorized batch), then run the sequential
+greedy suppression as a ``fori_loop`` over a keep mask — O(n) tiny steps
+on a precomputed matrix, fully jittable with static shapes.
+
+All functions return a boolean keep mask aligned with the input order
+(callers topk/argwhere outside jit or keep fixed-size outputs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rotate_iou import rotated_iou_matrix
+
+
+def _greedy_suppress(iou_sorted: jnp.ndarray, valid_sorted: jnp.ndarray,
+                     thresh: float) -> jnp.ndarray:
+    """Greedy NMS on a score-sorted IoU matrix -> keep mask (sorted order)."""
+    n = iou_sorted.shape[0]
+
+    def body(i, keep):
+        # if i is still alive, kill all later boxes overlapping it
+        alive = keep[i]
+        kill = (iou_sorted[i] > thresh) & (jnp.arange(n) > i) & alive
+        return keep & ~kill
+
+    keep0 = valid_sorted
+    return jax.lax.fori_loop(0, n, body, keep0)
+
+
+def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray, thresh: float,
+                valid_mask=None) -> jnp.ndarray:
+    """Rotated-box NMS.
+
+    Args:
+        boxes: (n, 5) [cx, cy, w, h, angle].
+        scores: (n,).
+        valid_mask: optional (n,) pre-filter.
+
+    Returns: (n,) bool keep mask in the ORIGINAL order.
+    """
+    n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool)
+    order = jnp.argsort(-scores)
+    iou = rotated_iou_matrix(boxes[order], boxes[order])
+    valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask[order]
+    keep_sorted = _greedy_suppress(iou, valid, thresh)
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
+def nms_axis_aligned(boxes: jnp.ndarray, scores: jnp.ndarray, thresh: float,
+                     valid_mask=None) -> jnp.ndarray:
+    """Axis-aligned NMS: boxes (n, 4) [x1, y1, x2, y2] -> keep mask."""
+    n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool)
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    x1 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-8)
+    valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask[order]
+    keep_sorted = _greedy_suppress(iou, valid, thresh)
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)

@@ -1,0 +1,137 @@
+"""Det-suite ops: bilinear sampling (torch grid_sample parity), positional
+encoding, group linear, deformable attention, cross-RoI logsumexp."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from epropnp_tpu.ops.bilinear_sample import (
+    batched_bilinear_sample, bilinear_sample)
+from epropnp_tpu.ops.group_linear import GroupLinear
+from epropnp_tpu.ops.positional_encoding import dense_posenc, points_to_enc
+from epropnp_tpu.ops.inter_roi_ops import logsumexp_across_rois
+
+
+def test_bilinear_sample_matches_torch_grid_sample():
+    torch = pytest.importorskip('torch')
+    import torch.nn.functional as F
+    r = np.random.default_rng(0)
+    h, w, c = 13, 17, 4
+    feat = r.normal(size=(h, w, c)).astype(np.float32)
+    # sample points, including out-of-range ones
+    pts = r.uniform(-3, 20, (50, 2)).astype(np.float32)  # [x, y] pixels
+
+    for padding in ('border', 'zeros'):
+        ours = np.asarray(bilinear_sample(
+            jnp.asarray(feat), jnp.asarray(pts), padding))
+        # torch grid_sample with align_corners=False: grid g -> pixel
+        # ((g+1)*size-1)/2, so g = (2*pix+1)/size - 1
+        gx = (2 * pts[:, 0] + 1) / w - 1
+        gy = (2 * pts[:, 1] + 1) / h - 1
+        grid = torch.tensor(np.stack([gx, gy], -1))[None, :, None, :]
+        inp = torch.tensor(feat).permute(2, 0, 1)[None]
+        ref = F.grid_sample(inp, grid, mode='bilinear', padding_mode=padding,
+                            align_corners=False)[0, :, :, 0].T.numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_batched_bilinear_sample_indexes_correct_image():
+    r = np.random.default_rng(1)
+    feats = jnp.asarray(r.normal(size=(3, 8, 8, 2)).astype(np.float32))
+    coords = jnp.asarray(np.tile(np.array([[3.0, 4.0]], np.float32),
+                                 (6, 1))[:, None, :])
+    img_inds = jnp.asarray([0, 1, 2, 0, 1, 2])
+    out = batched_bilinear_sample(feats, img_inds, coords)
+    single = [np.asarray(bilinear_sample(feats[i], coords[0]))
+              for i in range(3)]
+    for k in range(6):
+        np.testing.assert_allclose(np.asarray(out[k]), single[k % 3],
+                                   atol=1e-6)
+
+
+def test_points_to_enc_shapes_and_range():
+    pts = jnp.asarray(np.random.default_rng(0).uniform(0, 640, (5, 7, 2)),
+                      jnp.float32)
+    sizes = jnp.broadcast_to(jnp.asarray([480.0, 640.0]), (5, 7, 2))
+    enc = points_to_enc(pts, sizes, num_feats=64)
+    assert enc.shape == (5, 7, 128)
+    assert np.all(np.abs(np.asarray(enc)) <= 1.0 + 1e-6)
+    d = dense_posenc(4, 6, 480, 640, num_feats=32, stride=8)
+    assert d.shape == (4, 6, 64)
+
+
+def test_group_linear_is_blockdiagonal():
+    gl = GroupLinear(in_features=16, out_features=8, groups=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16)),
+                    jnp.float32)
+    params = gl.init(jax.random.PRNGKey(0), x)
+    out = gl.apply(params, x)
+    assert out.shape == (3, 8)
+    # group 0 output depends only on group 0 inputs
+    x2 = x.at[:, 4:].set(0.0)
+    out2 = gl.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(out[:, :2]),
+                               np.asarray(out2[:, :2]), atol=1e-6)
+
+
+def test_deformable_attention_sampler_forward():
+    from epropnp_tpu.ops.deformable_attention import (
+        DeformableAttentionSampler)
+    num_img, h, w, embed = 2, 16, 16, 64
+    heads, pts = 4, 8
+    num_obj = 6
+    r = np.random.default_rng(0)
+    sampler = DeformableAttentionSampler(
+        embed_dims=embed, num_heads=heads, num_points=pts, stride=4,
+        ffn_dim=128)
+    args = (
+        jnp.asarray(r.normal(size=(num_obj, heads, 1, embed // heads)),
+                    jnp.float32),
+        jnp.asarray(r.normal(size=(num_obj, embed)), jnp.float32),
+        jnp.asarray(r.normal(size=(num_img, h, w, embed)), jnp.float32),
+        jnp.asarray(r.normal(size=(num_img, h, w, embed)), jnp.float32),
+        jnp.asarray(r.uniform(0, 64, (num_img, h, w, 2)), jnp.float32),
+        jnp.ones((num_img, h, w, 1), jnp.float32),
+        jnp.asarray(r.uniform(0, 64, (num_obj, 2)), jnp.float32),
+        jnp.full((num_obj,), 4.0, jnp.float32),
+        jnp.asarray([0, 0, 0, 1, 1, 1]),
+    )
+    params = sampler.init(jax.random.PRNGKey(0), *args)
+    out = sampler.apply(params, *args)
+    assert out.output.shape == (num_obj, embed)
+    assert out.v_samples.shape == (num_obj, heads, embed // heads, pts)
+    assert out.a_samples.shape == (num_obj, heads, 1, pts)
+    assert out.x2d_samples.shape == (num_obj, heads, 2, pts)
+    assert np.all(np.isfinite(np.asarray(out.output)))
+
+
+def test_logsumexp_across_rois():
+    # two fully-overlapping identical rois in the same image:
+    # out = logsumexp(x, x) = x + log(2); a third roi in another image
+    # stays untouched.
+    rh = rw = 4
+    x = np.random.default_rng(0).normal(
+        size=(3, rh, rw, 1)).astype(np.float32)
+    x[1] = x[0]
+    boxes = jnp.asarray([[0., 0., 8., 8.], [0., 0., 8., 8.],
+                         [0., 0., 8., 8.]])
+    ids = jnp.asarray([0, 0, 1])
+    out = np.asarray(logsumexp_across_rois(jnp.asarray(x), boxes, ids))
+    np.testing.assert_allclose(out[0], x[0] + np.log(2.0), atol=1e-5)
+    np.testing.assert_allclose(out[1], x[0] + np.log(2.0), atol=1e-5)
+    np.testing.assert_allclose(out[2], x[2], atol=1e-6)
+
+
+def test_logsumexp_across_rois_partial_overlap():
+    # roi1 right half overlaps roi0 left half; non-overlap region unchanged
+    rh = rw = 8
+    x = np.zeros((2, rh, rw, 1), np.float32)
+    boxes = jnp.asarray([[4., 0., 12., 8.], [0., 0., 8., 8.]])
+    ids = jnp.asarray([0, 0])
+    out = np.asarray(logsumexp_across_rois(jnp.asarray(x), boxes, ids))
+    # left half of roi0 lies inside roi1 -> logsumexp(0,0)=log2
+    np.testing.assert_allclose(out[0, :, :rw // 2 - 1, 0], np.log(2.0),
+                               atol=1e-5)
+    # right half of roi0 outside roi1 -> unchanged 0
+    np.testing.assert_allclose(out[0, :, rw // 2 + 1:, 0], 0.0, atol=1e-6)
