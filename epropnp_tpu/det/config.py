@@ -1,0 +1,98 @@
+"""Typed configuration for the Det suite.
+
+Mirrors the released mmcv config files
+(EPro-PnP-Det/configs/epropnp_det_basic.py and the v1b variants) as frozen
+dataclasses; ``basic()`` / ``v1b()`` factories reproduce the two published
+generations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DetPnPConfig:
+    mc_samples: int = 512
+    num_iter: int = 4
+    normalize: bool = True
+    lm_num_iter: int = 10
+    test_lm_num_iter: int = 5   # override_cfg at eval (basic.py:153)
+    rs_num_points: int = 16
+    rs_num_proposals: int = 64
+    rs_num_iter: int = 3
+    relative_delta: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class DetLossWeights:
+    pose: float = 0.15
+    proj: float = 0.5
+    dim: float = 1.0
+    regr: float = 0.25          # 0 disables (basic has no coord regr)
+    score: float = 1.0
+    reg_pos: float = 0.05
+    reg_orient: float = 0.05
+    velo: float = 0.05
+    attr: float = 0.5
+    regr_beta: float = 0.05
+    reg_pos_beta: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DetTrainConfig:
+    num_obj_samples_per_img: int = 48
+    uniform_mix_ratio: float = 0.5
+    roi_shape: Tuple[int, int] = (28, 28)
+    max_gt_per_img: int = 32
+    lr: float = 2e-4
+    weight_decay: float = 0.0001
+    grad_clip: float = 35.0
+    epochs: int = 12
+    batch_size: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class DetConfig:
+    num_classes: int = 10
+    backbone_depth: int = 101
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_points: int = 32
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64, 128)
+    output_stride: int = 4
+    use_cls_emb: bool = False
+    dim_cls_agnostic: bool = False
+    offset_cls_agnostic: bool = True
+    pred_velo: bool = True
+    pred_attr: bool = True
+    num_attrs: int = 9
+    score_type: str = 'te'
+    with_loss_regr: bool = False
+    pnp: DetPnPConfig = dataclasses.field(default_factory=DetPnPConfig)
+    loss: DetLossWeights = dataclasses.field(default_factory=DetLossWeights)
+    train: DetTrainConfig = dataclasses.field(default_factory=DetTrainConfig)
+
+    @classmethod
+    def basic(cls):
+        """epropnp_det_basic: R101-DCN, N=8x32, mc 512."""
+        return cls()
+
+    @classmethod
+    def coord_regr(cls):
+        """epropnp_det_coord_regr: + auxiliary x3d regression loss."""
+        return cls(with_loss_regr=True)
+
+    @classmethod
+    def v1b(cls):
+        """v1b_220411: strides from 8, N=8x16, mc 128, cls embeddings."""
+        return cls(
+            strides=(8, 16, 32, 64, 128),
+            output_stride=8,
+            num_points=16,
+            use_cls_emb=True,
+            dim_cls_agnostic=False,
+            offset_cls_agnostic=False,
+            pnp=DetPnPConfig(mc_samples=128),
+            train=DetTrainConfig(roi_shape=(14, 14)))

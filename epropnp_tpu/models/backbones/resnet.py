@@ -57,6 +57,7 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     filters: int  # bottleneck width; output channels = 4 * filters
     strides: int = 1
+    use_dcn: bool = False  # deformable 3x3 (reference R101-DCN stages 3-4)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,8 +68,12 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
-                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        if self.use_dcn and self.strides == 1:
+            from ...ops.deform_conv import DeformConv
+            y = DeformConv(self.filters, dtype=self.dtype)(y)
+        else:
+            y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                        padding=1, use_bias=False, dtype=self.dtype)(y)
         y = nn.relu(norm()(y))
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
                     dtype=self.dtype)(y)
@@ -96,6 +101,7 @@ class ResNetBackbone(nn.Module):
 
     depth: int = 34
     out_indices: Sequence[int] = (4,)
+    dcn_stages: Sequence[int] = ()  # 1-based stages using deformable conv
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,9 +121,13 @@ class ResNetBackbone(nn.Module):
                 zip(stage_sizes, stage_channels), start=1):
             strides = 1 if stage == 1 else 2
             for i in range(n_blocks):
+                kwargs = {}
+                if block is Bottleneck and stage in self.dcn_stages:
+                    kwargs['use_dcn'] = True
                 x = block(channels, strides if i == 0 else 1,
                           dtype=self.dtype,
-                          name=f'layer{stage}_block{i}')(x, train=train)
+                          name=f'layer{stage}_block{i}', **kwargs)(x,
+                                                                  train=train)
             if stage in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -1,0 +1,394 @@
+"""DeformPnPHead: deformable-correspondence probabilistic PnP detection head.
+
+The main head of the Det suite (reference
+EPro-PnP-Det/epropnp_det/models/dense_heads/deform_pnp_head.py, 1200 LoC):
+a multi-level conv tower + upsample-concat dense feature with key/value
+projections; class-aware center selection feeding a deformable attention
+sampler; scale/score/dim/velo/attr branches; a per-point transformer
+regressing per-head dense correspondences (noc + w2d); Monte Carlo pose
+loss per stage; 3D-score + derivative-regularization losses from a second
+deterministic solve; auxiliary dense RoI reprojection (``loss_proj``) and
+coordinate-regression (``loss_regr``) losses; velocity/attribute losses.
+
+TPU-first restructuring:
+  * all object lists are fixed-size samples with validity/weight masks
+    (``obj_sampler`` uses Gumbel top-k + categorical instead of
+    ``torch.multinomial``);
+  * per-GT aggregation uses one-hot segment sums instead of
+    ``torch.unique``;
+  * the empty-batch branches disappear under fixed shapes;
+  * EMA loss normalizers (pose norm_factor per stage, proj mean_inv_std)
+    are explicit functional state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ...core.bbox_3d.center_target import VolumeCenter
+from ...core.bbox_3d.coders import DistDimProjErrorCoder, MultiClassLogDimCoder
+from ...core.bbox_3d.misc import project_to_image
+from ...ops.deformable_attention import DeformableAttentionSampler
+from ...ops.group_linear import GroupLinear
+from ...ops.pnp import (
+    AdaptiveHuberPnPCost,
+    EProPnP4DoF,
+    LMSolver,
+    PerspectiveCamera,
+    RSLMSolver,
+)
+from ...ops.positional_encoding import dense_posenc, points_to_enc
+from ...ops.roi_align import roi_align
+from ..losses.det_losses import (
+    cosine_angle_loss,
+    mvd_gaussian_mixture_nll_loss,
+    smooth_l1_loss_mod,
+    weight_reduce_loss,
+)
+from ..losses.monte_carlo_pose_loss import (
+    MonteCarloPoseLossState,
+    monte_carlo_pose_loss,
+)
+from .fcos_emb_head import FCOSEmbHead
+from .pts_transformer import PtsTransformerLayer
+
+
+class HeadEMAState(struct.PyTreeNode):
+    """EMA buffers carried in the train state (reference module buffers)."""
+    pose_norm_factor: Any        # tuple of MonteCarloPoseLossState per stage
+    proj_mean_inv_std: jnp.ndarray
+
+    @classmethod
+    def create(cls, num_stages: int = 1):
+        return cls(
+            pose_norm_factor=tuple(MonteCarloPoseLossState.create()
+                                   for _ in range(num_stages)),
+            proj_mean_inv_std=jnp.asarray(1.0, jnp.float32))
+
+
+def obj_sampler(rng, num_obj_samples, fg_mask, centerness_targets, gt_inds,
+                num_gt: int, uniform_mix_ratio: float = 0.5,
+                eps: float = 1e-5):
+    """Importance-sample foreground points (fixed output size).
+
+    Reference: deform_pnp_head.py:1112-1184. Returns
+    (sample_point_inds, sample_gt_inds, sample_weights,
+    sample_uniform_weights, sample_valid) all of length num_obj_samples.
+    """
+    n_total = fg_mask.shape[0]
+    dtype = centerness_targets.dtype
+    fg = fg_mask.astype(dtype)
+    n_uniform = int(round(num_obj_samples * uniform_mix_ratio))
+    n_replace = num_obj_samples - n_uniform
+
+    prob = centerness_targets * fg
+    prob = prob / jnp.maximum(jnp.sum(prob), eps)
+    fg_count = jnp.sum(fg)
+    prob_uniform = fg / jnp.maximum(fg_count, 1.0)
+    mix = uniform_mix_ratio
+    prob_mix = prob_uniform * mix + prob * (1.0 - mix)
+
+    k_u, k_r = jax.random.split(rng)
+    # without-replacement uniform over fg: Gumbel top-k on the fg mask
+    gumbel = jax.random.gumbel(k_u, (n_total,), dtype)
+    _, inds_uniform = jax.lax.top_k(
+        jnp.where(fg_mask, gumbel, -jnp.inf), n_uniform)
+    # with-replacement importance samples
+    inds_replace = jax.random.categorical(
+        k_r, jnp.log(jnp.maximum(prob, 1e-30)), shape=(n_replace,))
+    point_inds = jnp.concatenate([inds_uniform, inds_replace])
+    sample_valid = fg_mask[point_inds]
+    sample_gt_inds = gt_inds[point_inds]
+
+    w_prob = prob[point_inds] / jnp.maximum(prob_mix[point_inds], eps)
+    w_prob = jnp.where(sample_valid, w_prob, 0.0)
+    onehot = (sample_gt_inds[:, None] == jnp.arange(num_gt)[None, :]) \
+        & sample_valid[:, None]                       # (S, num_gt)
+    gt_prob_sum = jnp.sum(w_prob[:, None] * onehot, axis=0)
+    gt_w = 1.0 / jnp.maximum(gt_prob_sum, eps)
+    sample_weights = w_prob * gt_w[sample_gt_inds] * sample_valid
+    sample_weights = sample_weights / jnp.maximum(
+        jnp.mean(sample_weights), eps)
+
+    gt_counts = jnp.sum(onehot, axis=0)
+    gt_uw = 1.0 / jnp.maximum(gt_counts, 1.0)
+    uniform_weights = gt_uw[sample_gt_inds] * sample_valid
+    uniform_weights = uniform_weights / jnp.maximum(
+        jnp.mean(uniform_weights), eps)
+    return (point_inds, sample_gt_inds, sample_weights, uniform_weights,
+            sample_valid)
+
+
+class SubheadOutputs(NamedTuple):
+    query: jnp.ndarray       # (num_obj, heads, 1, head_dim)
+    scale: jnp.ndarray       # (num_obj, 2)
+    score_pred: jnp.ndarray  # (num_obj,)
+    dim_enc: jnp.ndarray     # (num_obj, 3)
+    dim_dec: jnp.ndarray     # (num_obj, 3)
+    velo: Optional[jnp.ndarray]
+    attr: Optional[jnp.ndarray]
+    noc_list: Tuple[jnp.ndarray, ...]   # each (num_obj, HP, 3)
+    w2d_list: Tuple[jnp.ndarray, ...]   # each (num_obj, HP, 2)
+    x2d: jnp.ndarray                    # (num_obj, HP, 2)
+
+
+class DeformPnPHead(nn.Module):
+    num_classes: int = 10
+    in_channels: int = 256
+    lvl_feat_channels: Sequence[int] = (256, 128, 128)
+    strides: Sequence[int] = (4, 8, 16, 32, 64, 128)
+    output_stride: int = 4
+    dense_lvl_range: Tuple[int, int] = (0, 4)
+    det_lvl_range: Tuple[int, int] = (1, 6)
+    dense_channels: int = 256
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_points: int = 32
+    num_pred_fcs: int = 2
+    num_pts_trans_layers: int = 1
+    posenc_num_feats: int = 0  # 0 -> embed_dims // 2
+    use_cls_emb: bool = False
+    dim_cls_agnostic: bool = False
+    pred_velo: bool = True
+    pred_attr: bool = True
+    num_attrs: int = 9
+    score_type: str = 'te'
+    detector_cfg: Any = None       # dict of FCOSEmbHead overrides
+    dcn_on_last_conv: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        det_kwargs = dict(num_classes=self.num_classes,
+                          in_channels=self.in_channels,
+                          strides=tuple(self.strides[self.det_lvl_range[0]:
+                                                     self.det_lvl_range[1]]),
+                          emb_channels=self.embed_dims,
+                          dcn_on_last_conv=self.dcn_on_last_conv,
+                          dtype=self.dtype)
+        if self.detector_cfg:
+            det_kwargs.update(self.detector_cfg)
+        self.detector = FCOSEmbHead(**det_kwargs)
+
+        self.convs = [
+            nn.Conv(ch, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name=f'dense_conv{i}')
+            for i, ch in enumerate(self.lvl_feat_channels)]
+        self.conv_upsampled = nn.Conv(
+            self.dense_channels, (1, 1), dtype=self.dtype,
+            name='conv_upsampled')
+        self.conv_upsampled_gn = nn.GroupNorm(32, dtype=self.dtype,
+                                              name='conv_upsampled_gn')
+        self.k_proj = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype,
+                              name='k_proj')
+        self.v_proj = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype,
+                              name='v_proj')
+        self.query_scale = self.param('query_scale',
+                                      nn.initializers.constant(0.1), ())
+        self.query_proj = nn.Dense(self.embed_dims, dtype=self.dtype,
+                                   name='query_proj')
+        self.pred_fc = [nn.Dense(self.embed_dims, dtype=self.dtype,
+                                 name=f'pred_fc{i}')
+                        for i in range(self.num_pred_fcs)]
+        self.dim_branch = nn.Dense(
+            3 if self.dim_cls_agnostic else self.num_classes * 3,
+            dtype=self.dtype, name='dim_branch')
+        self.score_branch = nn.Dense(1, dtype=self.dtype, name='score_branch')
+        self.scale_branch = nn.Dense(2, dtype=self.dtype, name='scale_branch')
+        if self.use_cls_emb:
+            self.cls_emb = self.param(
+                'cls_emb', nn.initializers.zeros,
+                (self.num_classes, self.embed_dims))
+        if self.pred_velo:
+            self.velo_branch = nn.Dense(2, dtype=self.dtype,
+                                        name='velo_branch')
+        if self.pred_attr:
+            self.attr_branch = nn.Dense(self.num_attrs, dtype=self.dtype,
+                                        name='attr_branch')
+
+        self.attention_sampler = DeformableAttentionSampler(
+            embed_dims=self.embed_dims, num_heads=self.num_heads,
+            num_points=self.num_points, stride=self.output_stride,
+            dtype=self.dtype)
+        self.obj_query_scale = [
+            self.param(f'obj_query_scale{i}', nn.initializers.constant(0.1),
+                       ())
+            for i in range(self.num_pts_trans_layers)]
+        self.pts_trans = [
+            PtsTransformerLayer(embed_dims=self.embed_dims // self.num_heads,
+                                dtype=self.dtype, name=f'pts_trans{i}')
+            for i in range(self.num_pts_trans_layers)]
+        self.x2d_pos_enc = nn.Dense(self.embed_dims // self.num_heads,
+                                    dtype=self.dtype, name='x2d_pos_enc')
+        self.corr_regs = [
+            GroupLinear(self.embed_dims, self.num_heads * 5, self.num_heads,
+                        dtype=self.dtype, name=f'corr_reg{i}')
+            for i in range(self.num_pts_trans_layers + 1)]
+
+    # ------------------------------------------------------------ helpers
+
+    @property
+    def head_dim(self):
+        return self.embed_dims // self.num_heads
+
+    @property
+    def _posenc_feats(self):
+        return self.posenc_num_feats or self.embed_dims // 2
+
+    # -------------------------------------------------------- dense stage
+
+    def forward_det_dense(self, mlvl_feats, img_shape):
+        """FCOS outputs + dense key/value maps. Reference: :349-377."""
+        det_feats = mlvl_feats[self.det_lvl_range[0]:self.det_lvl_range[1]]
+        det_outs = self.detector(det_feats)
+
+        dense_feats = []
+        for lvl_feats in mlvl_feats[self.dense_lvl_range[0]:
+                                    self.dense_lvl_range[1]]:
+            x = lvl_feats
+            for conv in self.convs:
+                x = nn.relu(conv(x))
+            dense_feats.append(x)
+        h0, w0 = dense_feats[0].shape[1:3]
+        ups = [dense_feats[0]] + [
+            jax.image.resize(
+                f, (f.shape[0], h0, w0, f.shape[-1]), 'bilinear')
+            for f in dense_feats[1:]]
+        concat = jnp.concatenate(ups, axis=-1)
+        concat = self.conv_upsampled_gn(self.conv_upsampled(concat))
+
+        posenc = dense_posenc(h0, w0, img_shape[0], img_shape[1],
+                              num_feats=self._posenc_feats,
+                              stride=self.output_stride, dtype=concat.dtype)
+        posenc = jnp.broadcast_to(
+            posenc[None], concat.shape[:3] + (posenc.shape[-1],))
+        key = self.k_proj(jnp.concatenate([concat, posenc], axis=-1))
+        value = self.v_proj(concat)
+        return det_outs, key, value
+
+    # --------------------------------------------------- correspondences
+
+    def forward_correspondence(self, v_samples, x2d_samples, mask_samples,
+                               obj_query, sample_flips):
+        """Per-point transformer -> per-head (noc, w2d). Reference: :379-425."""
+        num_obj = v_samples.shape[0]
+        hp = self.num_heads * self.num_points
+        d = self.head_dim
+        v = jnp.swapaxes(v_samples, -1, -2).reshape(num_obj, hp, d)
+        x2d = jnp.swapaxes(x2d_samples, -1, -2).reshape(num_obj, hp, 2)
+        mask = jnp.swapaxes(mask_samples, -1, -2)  # (n, heads, pts, 1)
+
+        x2d_flip = jax.lax.stop_gradient(x2d)
+        x2d_flip = jnp.where(sample_flips[:, None, None],
+                             x2d_flip * jnp.asarray([-1.0, 1.0]), x2d_flip)
+        mean = jnp.mean(x2d_flip, axis=1, keepdims=True)
+        std = jnp.std(x2d_flip, axis=1, keepdims=True)
+        pos_enc = self.x2d_pos_enc(
+            (x2d_flip - mean) / jnp.maximum(std, 1.0))
+
+        query = jnp.broadcast_to(
+            obj_query, (num_obj, self.num_heads, self.num_points, d)
+        ).reshape(num_obj, hp, d)
+
+        noc_list, w2d_list = [], []
+        for i, (pts_trans, scale) in enumerate(
+                zip(self.pts_trans, self.obj_query_scale)):
+            v = v + scale * query
+            v = pts_trans(v, pos_enc)
+            v_pts = v.reshape(num_obj, self.num_heads, self.num_points, d)
+            v_pts = jnp.swapaxes(v_pts, 1, 2).reshape(
+                num_obj, self.num_points, self.embed_dims)
+            regr = self.corr_regs[i + 1](v_pts).reshape(
+                num_obj, self.num_points, self.num_heads, 5)
+            regr = jnp.swapaxes(regr, 1, 2)  # (n, heads, pts, 5)
+            noc, w2d = regr[..., :3], regr[..., 3:]
+            noc = jnp.where(
+                sample_flips[:, None, None, None],
+                noc * jnp.asarray([1.0, 1.0, -1.0]), noc)
+            w2d = jax.nn.softmax(
+                w2d.reshape(num_obj, hp, 2), axis=1
+            ).reshape(num_obj, self.num_heads, self.num_points, 2) * mask
+            noc_list.append(noc.reshape(num_obj, hp, 3))
+            w2d_list.append(w2d.reshape(num_obj, hp, 2))
+        return tuple(noc_list), tuple(w2d_list), x2d
+
+    # ---------------------------------------------------------- subheads
+
+    def forward_subheads(self, obj_center, obj_emb, key, value,
+                         img_dense_x2d_small, img_dense_x2d_mask_small,
+                         obj_strides, obj_img_inds, obj_labels, img_flips,
+                         img_shapes) -> SubheadOutputs:
+        """Reference: :427-479."""
+        num_obj = obj_img_inds.shape[0]
+        d = self.head_dim
+        obj_flips = img_flips[obj_img_inds]
+        if self.use_cls_emb:
+            obj_emb = obj_emb + self.cls_emb[obj_labels]
+        if obj_center.shape[-1] > 2:  # offset_cls_agnostic=False
+            obj_center = jnp.take_along_axis(
+                obj_center.reshape(num_obj, self.num_classes, 2),
+                obj_labels[:, None, None].repeat(2, -1), axis=1)[:, 0]
+
+        posenc = points_to_enc(obj_center, img_shapes[obj_img_inds],
+                               num_feats=self._posenc_feats)
+        query = self.query_proj(
+            self.query_scale * obj_emb + posenc
+        ).reshape(num_obj, self.num_heads, 1, d)
+        samp = self.attention_sampler(
+            query, obj_emb, key, value, img_dense_x2d_small,
+            img_dense_x2d_mask_small, obj_center, obj_strides, obj_img_inds)
+
+        scale = jnp.exp(self.scale_branch(samp.output))
+        score_pred = self.score_branch(samp.output)[..., 0]
+        out = samp.output
+        for fc in self.pred_fc:
+            out = nn.relu(fc(out))
+        dim_enc = self.dim_branch(out)
+        if not self.dim_cls_agnostic:
+            dim_enc = jnp.take_along_axis(
+                dim_enc.reshape(num_obj, self.num_classes, 3),
+                obj_labels[:, None, None].repeat(3, -1), axis=1)[:, 0]
+        dim_dec = MultiClassLogDimCoder().decode(dim_enc, obj_labels)
+
+        velo = None
+        if self.pred_velo:
+            velo = self.velo_branch(out)
+            velo = jnp.where(obj_flips[:, None],
+                             velo * jnp.asarray([-1.0, 1.0]), velo)
+        attr = self.attr_branch(out) if self.pred_attr else None
+
+        noc_list, w2d_list, x2d = self.forward_correspondence(
+            samp.v_samples, samp.x2d_samples, samp.mask_samples, query,
+            obj_flips)
+        return SubheadOutputs(query, scale, score_pred, dim_enc, dim_dec,
+                              velo, attr, noc_list, w2d_list, x2d)
+
+    # ------------------------------------------------------------- rois
+
+    def extract_rois(self, roi_img_inds, roi_boxes, img_dense_x2d, key,
+                     value, roi_shape=(28, 28)):
+        """RoI-align x2d/key/value. Reference: :719-741."""
+        x2d_roi = roi_align(img_dense_x2d, roi_img_inds, roi_boxes,
+                            roi_shape, 1.0)
+        key_roi = roi_align(key, roi_img_inds, roi_boxes, roi_shape,
+                            1.0 / self.output_stride)
+        value_roi = roi_align(value, roi_img_inds, roi_boxes, roi_shape,
+                              1.0 / self.output_stride)
+        return x2d_roi, key_roi, value_roi
+
+    def dense_corr_regr(self, value_roi, gt_flips):
+        """corr_regs[0] over RoI features -> (noc, logstd). Ref: :951-959."""
+        n, rh, rw, _ = value_roi.shape
+        regr = self.corr_regs[0](
+            value_roi.reshape(n, rh * rw, self.embed_dims)).reshape(
+            n, rh * rw, self.num_heads, 5)
+        regr = jnp.swapaxes(regr, 1, 2)  # (n, heads, rh*rw, 5)
+        noc, logstd = regr[..., :3], regr[..., 3:]
+        noc = jnp.where(gt_flips[:, None, None, None],
+                        noc * jnp.asarray([1.0, 1.0, -1.0]), noc)
+        return noc, logstd
