@@ -1,0 +1,352 @@
+"""nuScenes monocular-3D dataset: annotations, multicam fusion, submission.
+
+Reference: EPro-PnP-Det/epropnp_det/datasets/nuscenes3d_dataset.py. The
+dataset treats each of the 6 cameras as a monocular sample; at evaluation
+per-camera detections are lifted to the global frame (sensor -> ego ->
+global), distance-filtered per class, fused with cross-camera rotated BEV
+NMS (the native C++ op), and written as a standard nuScenes submission
+JSON. The official NDS/mAP computation requires the nuscenes devkit
+(gated: ``evaluate_nds`` raises with instructions when absent); everything
+else — parsing, geometry, fusion, formatting — is self-contained numpy.
+
+Camera-frame box layout: ``[l, h, w, x, y, z, ry]`` (KITTI-style, y down).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.iou3d import nms_rotated
+
+CLASSES = ('car', 'truck', 'trailer', 'bus', 'construction_vehicle',
+           'bicycle', 'motorcycle', 'pedestrian', 'traffic_cone', 'barrier')
+CAMS = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
+        'CAM_BACK_LEFT', 'CAM_BACK_RIGHT')
+NUM_CAMS = len(CAMS)
+KITTI2NUS_ROT = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
+ATTRIBUTES = ('cycle.with_rider', 'cycle.without_rider',
+              'pedestrian.moving', 'pedestrian.standing',
+              'pedestrian.sitting_lying_down', 'vehicle.moving',
+              'vehicle.parked', 'vehicle.stopped', '')
+CLS_ORIENTATION = (True, True, True, True, True, True, True, True, False,
+                   False)
+CLS2ATTR = {
+    'car': ('vehicle.moving', 'vehicle.parked', 'vehicle.stopped'),
+    'truck': ('vehicle.moving', 'vehicle.parked', 'vehicle.stopped'),
+    'trailer': ('vehicle.moving', 'vehicle.parked', 'vehicle.stopped'),
+    'bus': ('vehicle.moving', 'vehicle.parked', 'vehicle.stopped'),
+    'construction_vehicle': ('vehicle.moving', 'vehicle.parked',
+                             'vehicle.stopped'),
+    'bicycle': ('cycle.with_rider', 'cycle.without_rider'),
+    'motorcycle': ('cycle.with_rider', 'cycle.without_rider'),
+    'pedestrian': ('pedestrian.moving', 'pedestrian.standing',
+                   'pedestrian.sitting_lying_down'),
+    'traffic_cone': ('',),
+    'barrier': ('',),
+}
+# official nuScenes detection range per class (meters)
+CLASS_RANGE = {
+    'car': 50, 'truck': 50, 'bus': 50, 'trailer': 50,
+    'construction_vehicle': 50, 'pedestrian': 40, 'motorcycle': 40,
+    'bicycle': 40, 'traffic_cone': 30, 'barrier': 30,
+}
+
+
+# ------------------------------------------------------- quaternion helpers
+
+def quat_multiply(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def quat_to_mat(q):
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]])
+
+
+def mat_to_quat(m):
+    # robust four-candidate construction
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                         (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    i = np.argmax(np.diag(m))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(m[i, i] - m[j, j] - m[k, k] + 1.0, 0.0)) * 2
+    q = np.empty(4)
+    q[0] = (m[k, j] - m[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (m[j, i] + m[i, j]) / s
+    q[1 + k] = (m[k, i] + m[i, k]) / s
+    return q
+
+
+def quat_about_axis(axis, radians):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    half = radians / 2.0
+    return np.concatenate([[np.cos(half)], axis * np.sin(half)])
+
+
+@dataclasses.dataclass
+class NusBox:
+    """Minimal stand-in for the nuscenes devkit ``Box``."""
+    center: np.ndarray       # (3,)
+    wlh: np.ndarray          # (3,) [w, l, h]
+    quat: np.ndarray         # (4,) [w, x, y, z]
+    label: int
+    score: float
+    velocity: np.ndarray     # (3,)
+    attr_name: str
+
+    def rotate(self, q):
+        m = quat_to_mat(q)
+        self.center = m @ self.center
+        self.velocity = m @ self.velocity
+        self.quat = quat_multiply(q, self.quat)
+
+    def translate(self, t):
+        self.center = self.center + np.asarray(t)
+
+    @property
+    def rotation_matrix(self):
+        return quat_to_mat(self.quat)
+
+
+def bbox_3d_to_box_nus(bbox_3d: np.ndarray, label: int,
+                       num_attrs: int = 9) -> NusBox:
+    """Camera-frame detection row -> nuScenes Box.
+
+    Row layout (det.test results): [l, h, w, x, y, z, ry, score,
+    velo_x, velo_z, attr_logits...]. Reference: nuscenes3d_dataset.py:365-381.
+    """
+    center = np.asarray(bbox_3d[3:6], np.float64)
+    size = np.asarray(bbox_3d[[2, 0, 1]], np.float64)  # wlh
+    quat = quat_multiply(
+        quat_about_axis([0.0, 1.0, 0.0], float(bbox_3d[6])),
+        mat_to_quat(KITTI2NUS_ROT.T.astype(np.float64)))
+    score = float(bbox_3d[7])
+    velocity = np.array([bbox_3d[8], 0.0, bbox_3d[9]]) \
+        if len(bbox_3d) > 9 else np.zeros(3)
+
+    cls_name = CLASSES[label]
+    attr_scope = CLS2ATTR[cls_name]
+    if len(bbox_3d) > 10 + num_attrs - 1:
+        attr_logits = np.asarray(bbox_3d[10:10 + num_attrs])
+        scope_ids = [ATTRIBUTES.index(a) for a in attr_scope]
+        attr_name = ATTRIBUTES[scope_ids[int(
+            np.argmax(attr_logits[scope_ids]))]]
+    else:
+        attr_name = attr_scope[0]
+    return NusBox(center, size, quat, label, score, velocity, attr_name)
+
+
+def boxes_nus_to_xywhr(boxes: Sequence[NusBox]) -> np.ndarray:
+    out = np.empty((len(boxes), 5), np.float32)
+    for i, b in enumerate(boxes):
+        out[i, :2] = b.center[:2]
+        out[i, 2:4] = b.wlh[[1, 0]]
+        m = b.rotation_matrix
+        out[i, 4] = np.arctan2(m[0, 1] - m[1, 0], m[0, 0] + m[1, 1])
+    return out
+
+
+def multiclass_nms(boxes_multicls: List[List[NusBox]],
+                   nms_thr: float = 0.25) -> List[NusBox]:
+    """Cross-camera BEV NMS per class (offset trick + native rotated NMS).
+
+    Reference: nuscenes3d_dataset.py:383-403.
+    """
+    flat = [b for cls_boxes in boxes_multicls for b in cls_boxes]
+    if not flat:
+        return []
+    xywhr = boxes_nus_to_xywhr(flat)
+    labels = np.concatenate([
+        np.full(len(cls_boxes), i)
+        for i, cls_boxes in enumerate(boxes_multicls)])
+    span = (xywhr[:, :2].max() + xywhr[:, 2:4].max()
+            - xywhr[:, :2].min()) * 2.0
+    offs = xywhr.copy()
+    offs[:, :2] += (span * labels)[:, None]
+    scores = np.array([b.score for b in flat], np.float32)
+    keep = nms_rotated(offs, scores, nms_thr)
+    return [b for b, k in zip(flat, keep) if k]
+
+
+def multicam_fusion(cam_results: List[Dict], nms_thr: float = 0.25,
+                    max_boxes: int = 500) -> List[NusBox]:
+    """Fuse per-camera detections of one frame into the global frame.
+
+    Each ``cam_results[i]`` carries ``bbox_3d_results`` (per-class arrays)
+    plus calibration: sensor2ego_rotation/translation (quat wxyz / vec),
+    ego2global_rotation/translation. Reference: nuscenes3d_dataset.py:
+    332-363.
+    """
+    boxes_multicls: List[List[NusBox]] = [[] for _ in CLASSES]
+    for cam in cam_results:
+        s2e_q = np.asarray(cam['sensor2ego_rotation'], np.float64)
+        s2e_t = np.asarray(cam['sensor2ego_translation'], np.float64)
+        e2g_q = np.asarray(cam['ego2global_rotation'], np.float64)
+        e2g_t = np.asarray(cam['ego2global_translation'], np.float64)
+        for label, bboxes in enumerate(cam['bbox_3d_results']):
+            for row in np.asarray(bboxes):
+                box = bbox_3d_to_box_nus(row, label)
+                box.rotate(s2e_q)
+                box.translate(s2e_t)
+                if np.linalg.norm(box.center[:2]) > CLASS_RANGE[
+                        CLASSES[label]]:
+                    continue
+                box.rotate(e2g_q)
+                box.translate(e2g_t)
+                boxes_multicls[label].append(box)
+    boxes = multiclass_nms(boxes_multicls, nms_thr)
+    if len(boxes) > max_boxes:
+        boxes.sort(reverse=True, key=lambda b: b.score)
+        boxes = boxes[:max_boxes]
+    return boxes
+
+
+def format_submission(frame_results: List[Dict], out_path: str,
+                      modality: Optional[Dict] = None) -> str:
+    """Write the nuScenes submission JSON.
+
+    ``frame_results``: list of {'boxes': [NusBox], 'sample_token': str}.
+    Reference: nuscenes3d_dataset.py:304-330.
+    """
+    modality = modality or dict(
+        use_camera=True, use_lidar=False, use_radar=False, use_map=False,
+        use_external=False)
+    annos = {}
+    for det in frame_results:
+        sample = []
+        for b in det['boxes']:
+            sample.append(dict(
+                sample_token=det['sample_token'],
+                translation=[float(v) for v in b.center],
+                size=[float(v) for v in b.wlh],
+                rotation=[float(v) for v in b.quat],
+                velocity=[float(v) for v in b.velocity[:2]],
+                detection_name=CLASSES[b.label],
+                detection_score=float(b.score),
+                attribute_name=b.attr_name))
+        annos[det['sample_token']] = sample
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, 'w') as f:
+        json.dump({'meta': modality, 'results': annos}, f)
+    return out_path
+
+
+class NuScenes3DDataset:
+    """Annotation-file-backed dataset yielding per-camera samples.
+
+    The annotation file is the converter's pickle (see
+    ``tools/nuscenes_converter.py``): a list of per-camera info dicts with
+    image path, calibration, and parsed GT. Reference:
+    nuscenes3d_dataset.py:60-225.
+    """
+
+    def __init__(self, ann_file: str, img_prefix: str = '',
+                 trunc_ignore_thres: float = 0.8, min_box_size: float = 4.0,
+                 min_visibility: int = 2, nms_thr: float = 0.25):
+        self.img_prefix = img_prefix
+        self.trunc_ignore_thres = trunc_ignore_thres
+        self.min_box_size = min_box_size
+        self.min_visibility = min_visibility
+        self.nms_thr = nms_thr
+        with open(ann_file, 'rb') as f:
+            self.data_infos = pickle.load(f)
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def parse_ann_info(self, info: Dict) -> Dict:
+        """Filter + convert raw annotations. Reference: :154-225."""
+        gt = dict(bboxes=[], labels=[], attrs=[], velos=[], bboxes_3d=[],
+                  bboxes_ignore=[])
+        for ann in info.get('annotations', []):
+            name = ann['category']
+            if name not in CLASSES:
+                continue
+            w, h = (ann['bbox'][2] - ann['bbox'][0],
+                    ann['bbox'][3] - ann['bbox'][1])
+            keep = (ann.get('visibility', 4) >= self.min_visibility
+                    and ann.get('truncation', 0.0) <= self.trunc_ignore_thres
+                    and min(w, h) >= self.min_box_size)
+            if not keep:
+                gt['bboxes_ignore'].append(ann['bbox'])
+                continue
+            gt['bboxes'].append(ann['bbox'])
+            gt['labels'].append(CLASSES.index(name))
+            gt['attrs'].append(ATTRIBUTES.index(ann.get('attribute', '')))
+            gt['velos'].append(ann.get('velocity', [np.nan, np.nan]))
+            # nuScenes box (center, wlh, quat in camera frame) -> KITTI row
+            rot = quat_to_mat(np.asarray(ann['rotation'], np.float64)) \
+                @ KITTI2NUS_ROT
+            yaw = np.arctan2(rot[0, 2] - rot[2, 0], rot[0, 0] + rot[2, 2])
+            wlh = np.asarray(ann['size'], np.float64)
+            lhw = wlh[[1, 2, 0]]
+            gt['bboxes_3d'].append(
+                np.concatenate([lhw, ann['translation'], [yaw]]))
+        for k in ('bboxes', 'labels', 'attrs', 'velos', 'bboxes_3d'):
+            gt[k] = (np.stack(gt[k]) if gt[k]
+                     else np.zeros((0,) + {'bboxes': (4,), 'labels': (),
+                                           'attrs': (), 'velos': (2,),
+                                           'bboxes_3d': (7,)}[k]))
+        return gt
+
+    def evaluate(self, results: List[Dict], out_dir: str,
+                 eval_version: str = 'detection_cvpr_2019'):
+        """Fusion + submission + official NDS (devkit required for NDS)."""
+        assert len(results) % NUM_CAMS == 0
+        frames = []
+        for f_start in range(0, len(results), NUM_CAMS):
+            cam_results = []
+            for i in range(f_start, f_start + NUM_CAMS):
+                r = dict(results[i])
+                r.update(self.data_infos[i].get('calib', {}))
+                r.setdefault('sample_token',
+                             self.data_infos[i].get('sample_token'))
+                cam_results.append(r)
+            frames.append(dict(
+                boxes=multicam_fusion(cam_results, self.nms_thr),
+                sample_token=cam_results[0]['sample_token']))
+        res_path = format_submission(
+            frames, os.path.join(out_dir, 'results_nusc.json'))
+        try:
+            from nuscenes import NuScenes  # noqa: F401
+        except ImportError:
+            return dict(result_path=res_path,
+                        note='nuscenes devkit unavailable: submission '
+                             'written, official NDS/mAP not computed')
+        return self._official_eval(res_path, out_dir, eval_version)
+
+    def _official_eval(self, res_path, out_dir, eval_version):
+        from nuscenes import NuScenes
+        from nuscenes.eval.detection.config import config_factory
+        from nuscenes.eval.detection.evaluate import NuScenesEval
+        nusc = NuScenes(version=self.data_infos[0].get('version',
+                                                       'v1.0-trainval'),
+                        dataroot=self.img_prefix, verbose=False)
+        nusc_eval = NuScenesEval(
+            nusc, config=config_factory(eval_version),
+            result_path=res_path,
+            eval_set=self.data_infos[0].get('eval_set', 'val'),
+            output_dir=out_dir, verbose=False)
+        nusc_eval.main(render_curves=False)
+        with open(os.path.join(out_dir, 'metrics_summary.json')) as f:
+            return json.load(f)

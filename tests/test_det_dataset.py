@@ -1,0 +1,128 @@
+"""nuScenes dataset layer: quaternion boxes, fusion, pipelines, submission."""
+
+import json
+import numpy as np
+import pytest
+
+from epropnp_tpu.det import nuscenes_dataset as nus
+from epropnp_tpu.det import pipelines as pl
+
+
+def test_quat_roundtrip_and_box_transform():
+    r = np.random.default_rng(0)
+    for _ in range(10):
+        q = r.normal(size=4)
+        q /= np.linalg.norm(q)
+        m = nus.quat_to_mat(q)
+        q2 = nus.mat_to_quat(m)
+        assert abs(abs(np.dot(q, q2)) - 1.0) < 1e-8
+    # rotating a box and its inverse restores the center
+    box = nus.NusBox(np.array([1., 2., 3.]), np.ones(3),
+                     np.array([1., 0., 0., 0.]), 0, 0.9, np.zeros(3), '')
+    q = nus.quat_about_axis([0, 0, 1], 0.7)
+    box.rotate(q)
+    q_inv = q * np.array([1, -1, -1, -1])
+    box.rotate(q_inv)
+    np.testing.assert_allclose(box.center, [1., 2., 3.], atol=1e-12)
+
+
+def test_bbox_3d_to_box_nus_geometry():
+    """A camera-frame box converts so that its BEV yaw is consistent."""
+    row = np.array([4.0, 1.5, 2.0,   # l h w
+                    1.0, 0.5, 10.0,  # x y z (camera frame, y down)
+                    0.3, 0.9,        # ry score
+                    1.0, -0.5] + [0.0] * 9)
+    box = nus.bbox_3d_to_box_nus(row, label=0)
+    np.testing.assert_allclose(box.center, [1.0, 0.5, 10.0])
+    np.testing.assert_allclose(box.wlh, [2.0, 4.0, 1.5])
+    assert box.attr_name in nus.CLS2ATTR['car']
+    # rotation must be a valid rotation matrix
+    m = box.rotation_matrix
+    np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-9)
+
+
+def test_multicam_fusion_dedupes_cross_camera():
+    # same physical box seen by two cameras -> one detection after fusion
+    row = np.array([4.0, 1.5, 2.0, 0.0, 1.0, 10.0, 0.0, 0.9,
+                    0.0, 0.0] + [0.0] * 9)
+    row2 = row.copy()
+    row2[7] = 0.8  # lower score duplicate
+    # physical camera->ego rotation: cam z (forward) -> ego x, cam x -> -ego y
+    cam2ego = nus.mat_to_quat(np.array(
+        [[0., 0., 1.], [-1., 0., 0.], [0., -1., 0.]]))
+    ident = dict(sensor2ego_rotation=cam2ego,
+                 sensor2ego_translation=[0, 0, 0],
+                 ego2global_rotation=[1, 0, 0, 0],
+                 ego2global_translation=[0, 0, 0])
+    cam1 = dict(bbox_3d_results=[np.stack([row])] + [np.zeros((0, 19))] * 9,
+                **ident)
+    cam2 = dict(bbox_3d_results=[np.stack([row2])] + [np.zeros((0, 19))] * 9,
+                **ident)
+    boxes = nus.multicam_fusion([cam1, cam2])
+    assert len(boxes) == 1
+    assert boxes[0].score == 0.9
+    # far-away box filtered by class range
+    row_far = row.copy()
+    row_far[5] = 80.0
+    cam3 = dict(bbox_3d_results=[np.stack([row_far])]
+                + [np.zeros((0, 19))] * 9, **ident)
+    assert len(nus.multicam_fusion([cam3])) == 0
+
+
+def test_format_submission(tmp_path):
+    box = nus.bbox_3d_to_box_nus(
+        np.array([4., 1.5, 2., 0., 1., 10., 0., .9, 0., 0.] + [0.] * 9), 0)
+    path = nus.format_submission(
+        [dict(boxes=[box], sample_token='tok123')],
+        str(tmp_path / 'res.json'))
+    data = json.load(open(path))
+    assert 'tok123' in data['results']
+    e = data['results']['tok123'][0]
+    assert e['detection_name'] == 'car'
+    assert len(e['rotation']) == 4 and len(e['size']) == 3
+
+
+def test_pipeline_transforms_keep_coordinate_values():
+    cv2 = pytest.importorskip('cv2')
+    r = np.random.default_rng(0)
+    sample = dict(
+        img=r.integers(0, 255, (100, 160, 3)).astype(np.uint8),
+        cam_intrinsic=np.eye(3),
+        gt_bboxes=np.array([[10., 10., 50., 60.]], np.float32))
+    sample = pl.load_image_3d(sample)
+    x2d0 = sample['img_dense_x2d'].copy()
+    assert np.allclose(x2d0[5, 7], [7., 5.])
+    sample = pl.resize_3d(sample, 0.5)
+    # resized map still holds ORIGINAL coordinates (values interpolated)
+    assert sample['img'].shape[:2] == (50, 80)
+    assert sample['img_dense_x2d'].shape[:2] == (50, 80)
+    assert sample['img_dense_x2d'][:, :, 0].max() > 150  # original x range
+    sample = pl.random_flip_3d(sample, np.random.default_rng(1), prob=1.0)
+    assert sample['flip']
+    # after flip, x coordinates decrease left to right
+    assert sample['img_dense_x2d'][0, 0, 0] > sample['img_dense_x2d'][0, -1, 0]
+    sample = pl.normalize_img(sample)
+    sample = pl.pad_3d(sample, 32)
+    ph, pw = sample['pad_shape']
+    assert ph % 32 == 0 and pw % 32 == 0
+    assert sample['img_dense_x2d_mask'][-1, -1, 0] == 0.0  # padded region
+
+
+def test_collate_det_batch_shapes():
+    r = np.random.default_rng(0)
+    samples = []
+    for i in range(2):
+        s = dict(img=r.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+                 cam_intrinsic=np.eye(3),
+                 gt_bboxes=np.array([[1., 1., 20., 20.]], np.float32),
+                 gt_bboxes_3d=r.normal(size=(1, 7)).astype(np.float32),
+                 gt_labels=np.array([2]),
+                 gt_velo=np.array([[0.1, 0.2]], np.float32),
+                 gt_attr=np.array([1]))
+        samples.append(pl.default_pipeline(s, np.random.default_rng(i),
+                                           training=False))
+    batch = pl.collate_det_batch(samples, max_gt=4)
+    assert batch.img.shape == (2, 64, 64, 3)
+    assert batch.gt_bboxes.shape == (2, 4, 4)
+    assert bool(batch.gt_mask[0, 0]) and not bool(batch.gt_mask[0, 1])
+    assert np.isnan(np.asarray(batch.gt_velo[0, 1])).all()  # padded slot
