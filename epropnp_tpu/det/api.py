@@ -1,0 +1,94 @@
+"""High-level Det-suite API: build, load, and run the detector.
+
+The TPU counterpart of the reference ``apis`` package
+(EPro-PnP-Det/epropnp_det/apis/inference.py:82-170 ``init_detector`` /
+``inference_detector``; apis/test.py:17-53 ``single_gpu_test``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.detectors.epropnp_det import EProPnPDet
+from ..utils.checkpoint import load_checkpoint
+from ..utils.timer import IterTimers
+from .config import DetConfig
+from .pipelines import default_pipeline
+from . import test as dtest
+
+
+def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
+    return EProPnPDet(
+        num_classes=cfg.num_classes,
+        backbone_depth=cfg.backbone_depth,
+        embed_dims=cfg.embed_dims,
+        num_heads=cfg.num_heads,
+        num_points=cfg.num_points,
+        strides=cfg.strides,
+        output_stride=cfg.output_stride,
+        use_cls_emb=cfg.use_cls_emb,
+        dim_cls_agnostic=cfg.dim_cls_agnostic,
+        offset_cls_agnostic=cfg.offset_cls_agnostic,
+        pred_velo=cfg.pred_velo,
+        pred_attr=cfg.pred_attr,
+        num_attrs=cfg.num_attrs,
+        score_type=cfg.score_type,
+        **overrides)
+
+
+def init_detector(cfg: DetConfig, checkpoint: Optional[str] = None,
+                  img_hw=(896, 1600), **overrides):
+    """Build the model and (optionally) restore parameters.
+
+    Returns (model, variables). Reference: apis/inference.py:82-118.
+    """
+    model = build_detector(cfg, **overrides)
+    img = jnp.zeros((1,) + tuple(img_hw) + (3,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, tuple(img_hw))
+    variables = dict(variables)
+    if checkpoint:
+        variables = load_checkpoint(checkpoint, variables)
+    return model, variables
+
+
+def inference_detector(model, variables, cfg: DetConfig,
+                       imgs: List[np.ndarray],
+                       cam_intrinsics: List[np.ndarray],
+                       infer_fn=None, rng=None, timers: IterTimers = None):
+    """Run inference on raw images (host pipeline + jitted model).
+
+    Returns per-image per-class detection arrays (reference
+    apis/inference.py:120-170 + single_gpu_test).
+    """
+    timers = timers or IterTimers(enabled=False)
+    samples = []
+    with timers('data time'):
+        for img, k in zip(imgs, cam_intrinsics):
+            samples.append(default_pipeline(
+                dict(img=img, cam_intrinsic=np.asarray(k)), training=False))
+    n = len(samples)
+    batch_img = jnp.asarray(np.stack([s['img'] for s in samples]))
+    cam = jnp.asarray(np.stack([s['cam_intrinsic'] for s in samples]),
+                      jnp.float32)
+    shapes = jnp.asarray([s['img_shape'] for s in samples], jnp.float32)
+    ori = jnp.asarray([s['ori_shape'] for s in samples], jnp.float32)
+    flips = jnp.asarray([s['flip'] for s in samples])
+    x2d = jnp.asarray(np.stack([s['img_dense_x2d'] for s in samples]))
+    x2d_mask = jnp.asarray(
+        np.stack([s['img_dense_x2d_mask'] for s in samples]))
+
+    if infer_fn is None:
+        infer_fn = jax.jit(dtest.make_inference_fn(model, cfg))
+    with timers('model time'):
+        results = infer_fn(variables, batch_img, cam, shapes, ori, flips,
+                           x2d, x2d_mask,
+                           rng if rng is not None else jax.random.PRNGKey(0))
+        jax.block_until_ready(results.bbox_3d)
+    with timers('post-proc. time'):
+        out2d, out3d = dtest.results_to_numpy(results, n, cfg.num_classes)
+    return out2d, out3d

@@ -1,0 +1,116 @@
+"""Det-suite training driver (epoch loop + checkpointing + data parallel).
+
+The counterpart of the reference ``tools/train.py`` + mmdet runner
+(EPro-PnP-Det/tools/train.py:89-191): builds the detector, optimizer and
+functional train step, iterates batches, checkpoints per epoch, and shards
+the image batch over a 1-D device mesh when requested.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import get_logger
+from .api import build_detector
+from .config import DetConfig
+from . import train as dtrain
+
+
+def init_state(cfg: DetConfig, model, tx, img_hw, rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    img = jnp.zeros((1,) + tuple(img_hw) + (3,), jnp.float32)
+    variables = model.init(rng, img, tuple(img_hw))
+    return dtrain.DetTrainState.create(variables, tx)
+
+
+def make_sharded_step(step_fn, n_devices: Optional[int] = None):
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    mesh = Mesh(np.array(devices), ('data',))
+    batch_spec = dtrain.DetBatch(
+        *([P('data')] * len(dtrain.DetBatch._fields)))
+    return jax.jit(shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False))
+
+
+def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
+               save_dir: str, img_hw=(896, 1600),
+               resume_from: Optional[str] = None,
+               data_parallel: bool = False, log_interval: int = 50,
+               seed: int = 0):
+    """``batch_iter_factory(epoch) -> iterator of DetBatch``."""
+    logger = get_logger('epropnp_tpu.det', save_dir)
+    model = build_detector(cfg)
+    tx = dtrain.make_optimizer(cfg)
+    state = init_state(cfg, model, tx, img_hw, jax.random.PRNGKey(seed))
+    if resume_from:
+        state = load_checkpoint(resume_from, state)
+        logger.info('resumed from %s', resume_from)
+    step_fn = dtrain.make_train_step(
+        model, cfg, tx, axis_name='data' if data_parallel else None)
+    step = make_sharded_step(step_fn) if data_parallel else jax.jit(step_fn)
+
+    rng = jax.random.PRNGKey(seed + 1)
+    for epoch in range(cfg.train.epochs):
+        t0 = time.time()
+        for i, batch in enumerate(batch_iter_factory(epoch)):
+            rng, k = jax.random.split(rng)
+            state, losses = step(state, batch, k)
+            if i % log_interval == 0:
+                m = jax.device_get(losses)
+                msg = ' '.join(
+                    f'{k}={float(np.ravel(v)[0]):.4f}'
+                    for k, v in sorted(m.items()))
+                logger.info('epoch %d iter %d/%d: %s (%.1fs)', epoch, i,
+                            steps_per_epoch, msg, time.time() - t0)
+        save_checkpoint(
+            os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack'), state)
+        save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
+        logger.info('epoch %d done', epoch)
+    return state
+
+
+class CBGSWrapper:
+    """Class-balanced group sampling (reference dataset_wrappers.py:12).
+
+    Duplicates sample indices so every class appears with near-uniform
+    frequency; wraps any dataset exposing per-sample class sets.
+    """
+
+    def __init__(self, dataset, sample_classes):
+        """``sample_classes[i]`` = iterable of class ids in sample i."""
+        self.dataset = dataset
+        num_classes = max((max(c, default=0) for c in sample_classes),
+                          default=0) + 1
+        cls_to_samples = [[] for _ in range(num_classes)]
+        for i, cls_set in enumerate(sample_classes):
+            for c in set(cls_set):
+                cls_to_samples[c].append(i)
+        counts = np.array([max(len(s), 1) for s in cls_to_samples])
+        frac = 1.0 / num_classes
+        ratios = frac / (counts / counts.sum())
+        indices = []
+        for c, samples in enumerate(cls_to_samples):
+            n_take = int(len(samples) * ratios[c])
+            if samples:
+                indices += list(np.random.default_rng(c).choice(
+                    samples, n_take, replace=True))
+        self.indices = indices or list(range(len(dataset)))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]

@@ -133,6 +133,156 @@ def make_inference_fn(model, cfg: DetConfig, max_obj_per_img: int = 256,
     return infer
 
 
+def make_tta_inference_fn(model, cfg: DetConfig, max_obj_per_img: int = 256,
+                          min_fcos_score: float = 0.04,
+                          nms_iou2d: float = 0.8, nms_ioubev: float = 0.25):
+    """Horizontal-flip test-time augmentation (reference aug_test :661-717).
+
+    Runs the dense forward on the original and flipped inputs, averages the
+    flip-corrected score maps, selects candidates once, gathers
+    correspondences from BOTH augmentations (concatenated along the point
+    axis), and averages dims/scores/velocity/attributes before one PnP
+    solve.
+    """
+    pnp = build_test_pnp(cfg)
+
+    def infer(variables, img, img_flip, cam_intrinsic, img_shapes,
+              ori_shapes, img_dense_x2d, img_dense_x2d_flip,
+              img_dense_x2d_mask, rng):
+        n_img = img.shape[0]
+        img_shape = (img.shape[1], img.shape[2])
+        outs0, key0, value0 = model.apply(
+            variables, img, img_shape, train=False, method=model.det_dense)
+        outs1, key1, value1 = model.apply(
+            variables, img_flip, img_shape, train=False,
+            method=model.det_dense)
+        bound = model.bind(variables)
+        detector = bound.head.detector
+
+        # average flip-corrected score maps (reference :678-679)
+        avg_outs = []
+        for o0, o1 in zip(outs0, outs1):
+            avg_outs.append(o0._replace(
+                cls_score=(o0.cls_score + o1.cls_score[:, :, ::-1]) / 2,
+                centerness=(o0.centerness + o1.centerness[:, :, ::-1]) / 2))
+        preds = detector.get_preds(
+            avg_outs,
+            extra_maps=[[o.obj_emb for o in outs0],
+                        [o.obj_emb[:, :, ::-1] for o in outs1],
+                        [o.center for o in outs0],
+                        [o.center[:, :, ::-1] for o in outs1]],
+            max_obj_per_img=max_obj_per_img, min_fcos_score=min_fcos_score)
+        img_inds, labels, valid = (preds['img_inds'], preds['labels'],
+                                   preds['valid'])
+        emb0, emb1, center0, center1 = preds['gathered']
+
+        mask_small = avg_pool_stride(img_dense_x2d_mask, cfg.output_stride)
+        x2d_small0 = avg_pool_stride(img_dense_x2d, cfg.output_stride)
+        x2d_small1 = avg_pool_stride(img_dense_x2d_flip, cfg.output_stride)
+        flips0 = jnp.zeros((n_img,), bool)
+        flips1 = jnp.ones((n_img,), bool)
+        # the flipped branch's center VALUES are already in flipped pixel
+        # space (its maps were only flipped spatially for gathering), so
+        # they address the flipped key/value maps directly (reference
+        # :683-699 passes them through unchanged)
+        sub0 = model.apply(
+            variables, center0, emb0, key0, value0, x2d_small0, mask_small,
+            preds['strides'], img_inds, labels, flips0, img_shapes,
+            method=model.subheads)
+        sub1 = model.apply(
+            variables, center1, emb1, key1, value1, x2d_small1,
+            mask_small, preds['strides'], img_inds, labels, flips1,
+            img_shapes, method=model.subheads)
+
+        dim_dec = (sub0.dim_dec + sub1.dim_dec) / 2
+        score_3d = (jax.nn.sigmoid(sub0.score_pred)
+                    + jax.nn.sigmoid(sub1.score_pred)) / 2
+        noc = jnp.concatenate([sub0.noc_list[-1], sub1.noc_list[-1]], axis=1)
+        x2d = jnp.concatenate([sub0.x2d, sub1.x2d], axis=1)
+        w2d = jnp.concatenate(
+            [sub0.w2d_list[-1] * sub0.scale[:, None, :],
+             sub1.w2d_list[-1] * sub1.scale[:, None, :]], axis=1) / 2
+        x3d = noc * dim_dec[:, None]
+        velo = None if sub0.velo is None else (sub0.velo + sub1.velo) / 2
+        attr = None if sub0.attr is None else (sub0.attr + sub1.attr) / 2
+
+        camera = PerspectiveCamera.from_img_shape(
+            cam_intrinsic[img_inds], ori_shapes[img_inds], z_min=0.1,
+            allowed_border=200.0)
+        cost_fun = AdaptiveHuberPnPCost(
+            relative_delta=cfg.pnp.relative_delta).set_param(x2d, w2d)
+        pose_opt, _, _, _ = pnp(
+            x3d, x2d, w2d, camera, cost_fun, rng=rng, fast_mode=True)
+
+        bbox_3d = jnp.concatenate([dim_dec, pose_opt], axis=-1)
+        bbox_2d, bbox_2d_mask = bboxes_3d_to_2d(
+            bbox_3d, cam_intrinsic[img_inds], ori_shapes[img_inds])
+        score = preds['score']
+        combined = score * score_3d
+        alive = valid & bbox_2d_mask
+        group = img_inds * cfg.num_classes + labels
+        span = jnp.max(bbox_2d) + 1.0
+        boxes_off = bbox_2d + (group.astype(bbox_2d.dtype) * span)[:, None]
+        alive = alive & nms_axis_aligned(boxes_off, combined, nms_iou2d,
+                                         valid_mask=alive)
+        bev_in = jnp.concatenate([bbox_3d, combined[:, None]], axis=-1)
+        alive = alive & batched_bev_nms(
+            jnp.where(alive[:, None], bev_in,
+                      jnp.asarray([1, 1, 1, 1e6, 0, 1e6, 0, -1.0])),
+            group, nms_thr=nms_ioubev)
+        return DetResults(bbox_3d=bbox_3d, bbox_2d=bbox_2d, scores=score,
+                          scores_3d=combined, labels=labels,
+                          img_inds=img_inds, velo=velo, attr=attr,
+                          valid=alive)
+
+    return infer
+
+
+def mc_score_and_orient_density(cfg: DetConfig, x3d, x2d, w2d, camera,
+                                cost_fun, pose_opt, rng,
+                                mc_scoring_ratio: float = 0.0,
+                                orient_bins: int = 128,
+                                score_3d=None):
+    """Optional Monte Carlo rescoring + yaw-density grid.
+
+    Reference: test_post :518-551 — MC sampling refines the 3D score via
+    the expected translation-error score of the pose samples; the
+    orientation density evaluates the cost over a uniform yaw grid and
+    log-softmax-normalizes it into a circular log-density.
+    """
+    from ..ops.pnp.common import evaluate_pnp
+    pnp = build_test_pnp(cfg)
+    out = {}
+    if mc_scoring_ratio > 0:
+        _, _, _, pose_samples, logweights, _ = pnp.monte_carlo_forward(
+            x3d, x2d, w2d, camera, cost_fun, rng=rng, fast_mode=True)
+        weights = jax.nn.softmax(logweights, axis=0)
+        dev = jnp.linalg.norm(
+            pose_samples[..., [0, 2]] - pose_opt[None, :, [0, 2]], axis=-1)
+        score_mc = jnp.clip(
+            (-jnp.log2(jnp.maximum(dev, 1e-12)) + 2.5) / 4.0, 0.0, 1.0)
+        score_mc = jnp.sum(score_mc * weights, axis=0)
+        out['pose_samples'] = pose_samples
+        out['pose_sample_weights'] = weights
+        if score_3d is not None:
+            out['score_3d'] = (score_3d ** (1 - mc_scoring_ratio)
+                               * score_mc ** mc_scoring_ratio)
+        else:
+            out['score_3d'] = score_mc
+    if orient_bins > 0:
+        grid = jnp.linspace(0.0, 2 * np.pi * (orient_bins - 1) / orient_bins,
+                            orient_bins, dtype=pose_opt.dtype)
+        pose_grid = jnp.broadcast_to(
+            pose_opt[None], (orient_bins,) + pose_opt.shape)
+        pose_grid = pose_grid.at[..., 3].set(grid[:, None])
+        cost = evaluate_pnp(x3d, x2d, w2d, pose_grid, camera, cost_fun,
+                            out_cost=True).cost
+        out['orient_logprob'] = jnp.swapaxes(
+            jax.nn.log_softmax(-cost, axis=0)
+            + np.log(orient_bins / (2 * np.pi)), 0, 1)
+    return out
+
+
 def results_to_numpy(results: DetResults, num_img: int, num_classes: int):
     """Fixed-size device results -> per-image per-class ragged numpy lists.
 

@@ -1,0 +1,68 @@
+"""CLI: evaluate the Det suite on nuScenes (fusion + submission + NDS).
+
+Counterpart of the reference root ``test.py``/``tools/test.py``.
+
+  python tools/test_det.py --config basic --checkpoint ck.msgpack \
+      --ann val_infos.pkl --data /path/to/nuscenes --out runs/eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--config', default='basic',
+                   choices=['basic', 'coord_regr', 'v1b'])
+    p.add_argument('--checkpoint', required=True)
+    p.add_argument('--ann', required=True, help='converter pickle')
+    p.add_argument('--data', default='', help='nuScenes dataroot')
+    p.add_argument('--out', default='runs/det_eval')
+    p.add_argument('--batch-size', type=int, default=6)
+    p.add_argument('--tta', action='store_true',
+                   help='horizontal-flip test-time augmentation')
+    p.add_argument('--timer', action='store_true')
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    from epropnp_tpu.det.config import DetConfig
+    from epropnp_tpu.det.api import init_detector, inference_detector
+    from epropnp_tpu.det.nuscenes_dataset import NuScenes3DDataset
+    from epropnp_tpu.utils.timer import IterTimers
+    try:
+        import cv2
+    except ImportError:
+        p.error('cv2 required for image loading')
+
+    cfg = getattr(DetConfig, args.config)()
+    dataset = NuScenes3DDataset(args.ann, img_prefix=args.data)
+    model, variables = init_detector(cfg, args.checkpoint)
+    timers = IterTimers(enabled=args.timer)
+
+    results = []
+    bs = args.batch_size
+    for i in range(0, len(dataset), bs):
+        infos = dataset.data_infos[i:i + bs]
+        imgs = [cv2.imread(os.path.join(args.data, info['img_path']))[..., ::-1]
+                for info in infos]
+        cams = [np.asarray(info['cam_intrinsic']) for info in infos]
+        _, out3d = inference_detector(model, variables, cfg, imgs, cams,
+                                      timers=timers)
+        for per_img in out3d:
+            results.append(dict(bbox_3d_results=per_img))
+        print(f'\r{min(i + bs, len(dataset))}/{len(dataset)}', end='')
+    print()
+    if args.timer:
+        print(timers.summary())
+    metrics = dataset.evaluate(results, args.out)
+    print(metrics)
+
+
+if __name__ == '__main__':
+    main()

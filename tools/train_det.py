@@ -1,0 +1,77 @@
+"""CLI: train the Det suite on nuScenes.
+
+  python tools/train_det.py --config basic --ann train_infos.pkl \
+      --data /path/to/nuscenes --save runs/det_basic --data-parallel
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--config', default='basic',
+                   choices=['basic', 'coord_regr', 'v1b'])
+    p.add_argument('--ann', required=True, help='converter pickle')
+    p.add_argument('--data', default='', help='nuScenes dataroot')
+    p.add_argument('--save', default='runs/det')
+    p.add_argument('--resume-from', default=None)
+    p.add_argument('--data-parallel', action='store_true')
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--img-hw', type=int, nargs=2, default=(896, 1600))
+    args = p.parse_args()
+
+    import dataclasses
+    import numpy as np
+    from epropnp_tpu.det.config import DetConfig
+    from epropnp_tpu.det.main import train_loop
+    from epropnp_tpu.det.nuscenes_dataset import NuScenes3DDataset
+    from epropnp_tpu.det.pipelines import (
+        collate_det_batch, default_pipeline)
+    try:
+        import cv2
+    except ImportError:
+        p.error('cv2 required')
+
+    cfg = getattr(DetConfig, args.config)()
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           batch_size=args.batch_size))
+    dataset = NuScenes3DDataset(args.ann, img_prefix=args.data)
+    if len(dataset) == 0:
+        p.error(f'no samples in {args.ann}')
+    bs = cfg.train.batch_size
+    steps = max(len(dataset) // bs, 1)
+    max_gt = cfg.train.max_gt_per_img
+
+    def batch_iter(epoch):
+        rng = np.random.default_rng(epoch)
+        order = rng.permutation(len(dataset))
+        for i in range(0, len(order) - bs + 1, bs):
+            samples = []
+            for j in order[i:i + bs]:
+                info = dataset.data_infos[j]
+                img = cv2.imread(
+                    os.path.join(args.data, info['img_path']))[..., ::-1]
+                gt = dataset.parse_ann_info(info)
+                s = dict(img=img,
+                         cam_intrinsic=np.asarray(info['cam_intrinsic']),
+                         gt_bboxes=gt['bboxes'], gt_labels=gt['labels'],
+                         gt_bboxes_3d=gt['bboxes_3d'], gt_velo=gt['velos'],
+                         gt_attr=gt['attrs'])
+                samples.append(default_pipeline(s, rng, training=True))
+            yield collate_det_batch(samples, max_gt)
+
+    train_loop(cfg, batch_iter, steps, args.save, img_hw=tuple(args.img_hw),
+               resume_from=args.resume_from,
+               data_parallel=args.data_parallel)
+
+
+if __name__ == '__main__':
+    main()
