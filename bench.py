@@ -68,10 +68,12 @@ def bench_jax(problem, repeats=10):
         AdaptiveHuberPnPCost, LMSolver, PerspectiveCamera, RSLMSolver)
 
     x3d, x2d, w2d, cam, _ = (jnp.asarray(a) for a in problem)
+    on_tpu = jax.devices()[0].platform != 'cpu'
     solver = LMSolver(
-        dof=6, num_iter=LM_ITER,
+        dof=6, num_iter=LM_ITER, use_pallas=on_tpu,
         init_solver=RSLMSolver(dof=6, num_points=RS_POINTS,
-                               num_proposals=RS_PROPOSALS, num_iter=RS_ITER))
+                               num_proposals=RS_PROPOSALS, num_iter=RS_ITER,
+                               use_pallas=on_tpu))
     camera = PerspectiveCamera(cam_mats=cam)
     cost_fun = AdaptiveHuberPnPCost(relative_delta=0.1).set_param(x2d, w2d)
 

@@ -56,6 +56,10 @@ class LMSolver:
     eps: float = 1e-5
     normalize: bool = False
     init_solver: Optional["RSLMSolver"] = None
+    # Route the solve through the fused Pallas TPU kernel (pallas_lm.py).
+    # Valid for zero-skew pinhole cameras without projection bounds and a
+    # per-object Huber delta; covariance output falls back to jnp.
+    use_pallas: bool = False
 
     @property
     def pose_dim(self) -> int:
@@ -120,6 +124,14 @@ class LMSolver:
                 x3d, x2d, w2d, pose, camera, cost_fun,
                 out_jacobian=out_jacobian, out_residual=out_residual,
                 out_cost=out_cost, clip_jac=not fast_mode)
+
+        if self.use_pallas and camera.lb is None and camera.ub is None \
+                and not with_pose_cov:
+            return self._solve_pallas(
+                x3d, x2d, w2d, camera, cost_fun, rng=rng,
+                pose_init=pose_init, cost_init=cost_init,
+                with_cost=with_cost, force_init_solve=force_init_solve,
+                fast_mode=fast_mode)
 
         # ---- initialization (reference :115-130) ----
         if pose_init is None or force_init_solve:
@@ -231,6 +243,47 @@ class LMSolver:
             cost = None
         return pose_opt, pose_cov, cost
 
+    def _solve_pallas(self, x3d, x2d, w2d, camera, cost_fun, rng=None,
+                      pose_init=None, cost_init=None, with_cost=False,
+                      force_init_solve=False, fast_mode=False):
+        """Fused-kernel path (see ops/pnp/pallas_lm.py for scope)."""
+        from .pallas_lm import camera_to_fxfycxcy, lm_solve_pallas
+        if pose_init is None or force_init_solve:
+            assert self.init_solver is not None
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            if pose_init is None:
+                pose_opt, _, _ = self.init_solver.solve(
+                    x3d, x2d, w2d, camera, cost_fun, rng=rng,
+                    fast_mode=fast_mode)
+            else:
+                if cost_init is None:
+                    cost_init = evaluate_pnp(
+                        x3d, x2d, w2d, pose_init, camera, cost_fun,
+                        out_cost=True).cost
+                pose_init_solve, _, cost_init_solve = self.init_solver.solve(
+                    x3d, x2d, w2d, camera, cost_fun, rng=rng, with_cost=True,
+                    fast_mode=fast_mode)
+                use_init = cost_init < cost_init_solve
+                pose_opt = jnp.where(use_init[..., None], pose_init,
+                                     pose_init_solve)
+        else:
+            pose_opt = pose_init
+
+        delta = jnp.broadcast_to(
+            jnp.asarray(cost_fun.delta, x2d.dtype), x2d.shape[:1])
+        tile_b = 64 if x2d.shape[1] <= 64 else 32
+        pose, cost = lm_solve_pallas(
+            x3d, x2d, w2d, camera_to_fxfycxcy(camera.cam_mats), delta,
+            pose_opt, dof=self.dof, num_iter=self.num_iter,
+            fast_mode=fast_mode, z_min=camera.z_min, tile_b=tile_b,
+            eps=self.eps, min_lm_diagonal=self.min_lm_diagonal,
+            max_lm_diagonal=self.max_lm_diagonal,
+            min_relative_decrease=self.min_relative_decrease,
+            initial_trust_region_radius=self.initial_trust_region_radius,
+            max_trust_region_radius=self.max_trust_region_radius)
+        return pose, None, (cost if with_cost else None)
+
     def gn_step(self, x3d, x2d, w2d, pose, camera, cost_fun):
         """One differentiable Gauss-Newton step at ``pose``.
 
@@ -289,6 +342,11 @@ class RSLMSolver(LMSolver):
     num_points: int = 16
     num_proposals: int = 64
     num_iter: int = 3
+    # Experimental: inverse-CDF sampling WITH replacement instead of the
+    # reference's multinomial without replacement. Statistically
+    # near-identical for the RANSAC init heuristic. Measured SLOWER than
+    # Gumbel top-k on TPU (searchsorted lowering); may help on CPU.
+    fast_sampling: bool = False
 
     def center_based_init(self, x2d, x3d, camera, eps: float = 1e-6):
         """Translation init matching 2D/3D point spread (reference :283-298)."""
@@ -319,12 +377,22 @@ class RSLMSolver(LMSolver):
         p = self.num_proposals
         k_inds, k_rot = jax.random.split(rng)
 
-        # Weighted subset sampling without replacement via Gumbel top-k
-        # (matches torch.multinomial's successive-sampling distribution).
         mean_weight = jnp.mean(w2d, axis=-1)  # (bs, pn)
-        logits = jnp.log(jnp.maximum(mean_weight, 1e-30))
-        gumbel = jax.random.gumbel(k_inds, (p, bs, pn), dtype=x2d.dtype)
-        _, inds = jax.lax.top_k(logits[None] + gumbel, self.num_points)
+        if self.fast_sampling:
+            # inverse-CDF sampling (with replacement)
+            cdf = jnp.cumsum(mean_weight, axis=-1)
+            u = jax.random.uniform(
+                k_inds, (p, bs, self.num_points), dtype=x2d.dtype) \
+                * cdf[None, :, -1:]
+            inds = jax.vmap(
+                lambda c, uu: jnp.searchsorted(c, uu),
+                in_axes=(0, 1), out_axes=1)(cdf, u)
+        else:
+            # Weighted subset sampling without replacement via Gumbel top-k
+            # (matches torch.multinomial's successive-sampling distribution).
+            logits = jnp.log(jnp.maximum(mean_weight, 1e-30))
+            gumbel = jax.random.gumbel(k_inds, (p, bs, pn), dtype=x2d.dtype)
+            _, inds = jax.lax.top_k(logits[None] + gumbel, self.num_points)
         # (p, bs, num_points, c): gather per (proposal, object) WITHOUT
         # broadcasting the source to (p, bs, pn, c) first — the broadcast
         # materializes ~p x the point set in HBM.
@@ -369,3 +437,4 @@ class RSLMSolver(LMSolver):
         pose = jnp.take_along_axis(
             pose, min_cost_ind[None, :, None], axis=0)[0]
         return pose, None, min_cost
+
