@@ -33,6 +33,8 @@ def main():
     from epropnp_tpu.det.config import DetConfig
     from epropnp_tpu.visualization import draw_box_3d_pred, show_bev
 
+    if not os.path.isdir(args.dir):
+        p.error(f'image directory not found: {args.dir}')
     k = np.asarray([float(v) for v in args.intrinsic.split(',')]).reshape(3, 3)
     cfg = getattr(DetConfig, args.config)()
     files = sorted(

@@ -1,0 +1,6 @@
+from .mesh import (  # noqa: F401
+    data_parallel_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

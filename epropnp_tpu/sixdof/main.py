@@ -110,3 +110,54 @@ def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
         save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
         logger.info('epoch %d done, checkpoint -> %s', epoch, ckpt)
     return state
+
+
+def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
+              init: str = 'epnp', batch_size: int = 32, log_interval=20):
+    """Evaluate a trained state on a test split (reference lib/test.py).
+
+    Args:
+        dataset: yields test batches via ``batches(batch_size, ...)`` plus
+            per-batch class names in ``batch.dim`` order is not tracked, so
+            this driver expects homogeneous-class batches or per-sample
+            iteration (default LineMODDataset ordering groups by class).
+        models: {class_name: (n, 3) model points}; diameters likewise.
+
+    Returns the metric dicts from :class:`eval_metrics.PoseEvaluator`.
+    """
+    from . import ref_constants as ref
+    from . import test as test_lib
+    from .eval_metrics import PoseEvaluator
+
+    logger = get_logger('epropnp_tpu.6dof')
+    model = CDPN(depth=cfg.network.back_layers_num)
+    evaluator = PoseEvaluator(list(models), models, diameters,
+                              cam_k=np.asarray(ref.CAMERA_MATRIX))
+    cam = jnp.asarray(ref.CAMERA_MATRIX, jnp.float32)
+    refine_fn = test_lib.make_refine_fn(cfg, cam)
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    @jax.jit
+    def forward(inp):
+        return model.apply(variables, inp, train=False)
+
+    extents = {c: dataset.min_extents(c) for c in dataset.classes}
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idx = range(start, min(start + batch_size, n))
+        samples = [dataset[i] for i in idx]
+        from .dataset import collate
+        batch = collate(samples, extents)
+        outs = forward(batch.inp)
+        box_wh = jnp.asarray(
+            np.stack([s.box[2:] for s in samples]), jnp.float32)
+        res = test_lib.infer_poses(outs, batch, box_wh, cam, cfg,
+                                   refine_fn=refine_fn, init=init)
+        pose_est = np.asarray(res.pose_est)
+        for k, s in enumerate(samples):
+            evaluator.update(s.obj, pose_est[k], np.asarray(s.pose))
+        if (start // batch_size) % log_interval == 0:
+            logger.info('eval %d/%d', start + len(samples), n)
+    return dict(pose=evaluator.evaluate_pose(),
+                add=evaluator.evaluate_pose_add(),
+                arp_2d=evaluator.evaluate_pose_arp_2d())

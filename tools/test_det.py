@@ -41,6 +41,8 @@ def main():
         p.error('cv2 required for image loading')
 
     cfg = getattr(DetConfig, args.config)()
+    if not os.path.isfile(args.ann):
+        p.error(f'annotation file not found: {args.ann}')
     dataset = NuScenes3DDataset(args.ann, img_prefix=args.data)
     model, variables = init_detector(cfg, args.checkpoint)
     timers = IterTimers(enabled=args.timer)
