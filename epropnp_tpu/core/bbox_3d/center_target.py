@@ -20,9 +20,8 @@ resampling semantics.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ...ops.pnp.common import yaw_to_rot_mat

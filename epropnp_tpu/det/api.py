@@ -7,8 +7,7 @@ The TPU counterpart of the reference ``apis`` package
 
 from __future__ import annotations
 
-import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax

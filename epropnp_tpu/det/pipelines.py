@@ -12,8 +12,7 @@ coordinate VALUES), normalization, and fixed-shape collation into
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from ..ops.pnp import (
     RSLMSolver,
 )
 from .config import DetConfig
-from .train import avg_pool_stride, build_pnp
+from .train import avg_pool_stride
 
 
 class DetResults(NamedTuple):

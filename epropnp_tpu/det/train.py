@@ -14,7 +14,7 @@ deform_pnp_head.py:743-1044 (see per-block citations).
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

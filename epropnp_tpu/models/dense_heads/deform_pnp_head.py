@@ -28,33 +28,14 @@ from typing import Any, NamedTuple, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
-from ...core.bbox_3d.center_target import VolumeCenter
-from ...core.bbox_3d.coders import DistDimProjErrorCoder, MultiClassLogDimCoder
-from ...core.bbox_3d.misc import project_to_image
+from ...core.bbox_3d.coders import MultiClassLogDimCoder
 from ...ops.deformable_attention import DeformableAttentionSampler
 from ...ops.group_linear import GroupLinear
-from ...ops.pnp import (
-    AdaptiveHuberPnPCost,
-    EProPnP4DoF,
-    LMSolver,
-    PerspectiveCamera,
-    RSLMSolver,
-)
 from ...ops.positional_encoding import dense_posenc, points_to_enc
 from ...ops.roi_align import roi_align
-from ..losses.det_losses import (
-    cosine_angle_loss,
-    mvd_gaussian_mixture_nll_loss,
-    smooth_l1_loss_mod,
-    weight_reduce_loss,
-)
-from ..losses.monte_carlo_pose_loss import (
-    MonteCarloPoseLossState,
-    monte_carlo_pose_loss,
-)
+from ..losses.monte_carlo_pose_loss import MonteCarloPoseLossState
 from .fcos_emb_head import FCOSEmbHead
 from .pts_transformer import PtsTransformerLayer
 

@@ -17,7 +17,6 @@ fixed-size top-k.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -28,7 +27,6 @@ from ...ops.deform_conv import DeformConv
 from ..losses.det_losses import (
     sigmoid_focal_loss,
     smooth_l1_loss_mod,
-    weight_reduce_loss,
 )
 
 INF = 1e8

@@ -17,7 +17,7 @@ all past samples and one of the old proposals over the new samples.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import random
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -20,7 +20,6 @@ Metric definitions:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np

@@ -8,7 +8,6 @@ normalization and ADD thresholds).
 
 from __future__ import annotations
 
-import os
 from typing import Dict
 
 import numpy as np

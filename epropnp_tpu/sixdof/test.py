@@ -13,8 +13,7 @@ the TPU-native serving configuration.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

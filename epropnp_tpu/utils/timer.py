@@ -10,7 +10,7 @@ the device tunnel, ``block_until_ready`` alone can under-report).
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 def _sync():
