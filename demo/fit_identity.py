@@ -111,6 +111,15 @@ class TrainMetrics(NamedTuple):
 
 def loss_fn(params, batch_in, batch_out, cam_mats, epropnp, num_points,
             mc_state, rng):
+    # all matmuls here are tiny; full f32 precision avoids non-finite
+    # gradients at extreme convergence (TPU default uses bfloat16 inputs)
+    with jax.default_matmul_precision('float32'):
+        return _loss_fn(params, batch_in, batch_out, cam_mats, epropnp,
+                        num_points, mc_state, rng)
+
+
+def _loss_fn(params, batch_in, batch_out, cam_mats, epropnp, num_points,
+             mc_state, rng):
     x3d, x2d, w2d = forward_correspondence(params, batch_in, num_points)
     camera = PerspectiveCamera(cam_mats=cam_mats)
     cost_fun = AdaptiveHuberPnPCost(relative_delta=0.5).set_param(
@@ -139,6 +148,17 @@ def loss_fn(params, batch_in, batch_out, cam_mats, epropnp, num_points,
     return loss, (metrics, new_mc_state)
 
 
+def _all_finite(tree):
+    """True iff every leaf is finite (NOT isfinite(global_norm): the norm's
+    sum of squares overflows f32 for huge-but-finite late-training
+    gradients, which Adam normalizes fine)."""
+    leaves = [jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(tree)]
+    out = leaves[0]
+    for l in leaves[1:]:
+        out = out & l
+    return out
+
+
 def make_optimizer(lr_mlp=1e-4, lr_scale=1e-2):
     """Adam with per-group learning rates (reference notebook param groups)."""
     return optax.multi_transform(
@@ -153,8 +173,19 @@ def train_step(params, opt_state, mc_state, batch_in, batch_out, cam_mats,
     (_, (metrics, new_mc_state)), grads = grad_fn(
         params, batch_in, batch_out, cam_mats, epropnp, num_points,
         mc_state, rng)
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    # NaN guard: at extreme convergence a degenerate batch can produce a
+    # non-finite loss/gradient through the AMIS sampling; skip the update
+    # and keep the EMA intact (the suites' train steps do the same,
+    # mirroring the reference's grad-norm NaN skip, lib/train.py:242).
+    ok = _all_finite(grads) & jnp.isfinite(metrics.loss)
+    updates, new_opt_state = opt.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    sel = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+        lambda x, y: jnp.where(ok, x, y), a, b)
+    params = sel(new_params, params)
+    opt_state = sel(new_opt_state, opt_state)
+    new_mc_state = sel(new_mc_state, mc_state)
+    metrics = metrics._replace(loss=jnp.where(ok, metrics.loss, jnp.nan))
     return params, opt_state, new_mc_state, metrics
 
 

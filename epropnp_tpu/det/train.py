@@ -404,7 +404,13 @@ def make_train_step(model, cfg: DetConfig, tx,
             grads = jax.lax.pmean(grads, axis_name)
             new_bs = jax.lax.pmean(new_bs, axis_name)
         grad_norm = optax.global_norm(grads)
-        ok = jnp.isfinite(grad_norm)
+        # per-leaf finiteness, not isfinite(grad_norm): the norm's sum of
+        # squares overflows f32 for huge-but-finite gradients
+        leaves = [jnp.all(jnp.isfinite(g))
+                  for g in jax.tree_util.tree_leaves(grads)]
+        ok = leaves[0]
+        for l in leaves[1:]:
+            ok = ok & l
         # NaN/Inf gradients are zeroed (reference OptimizerHookMod :31-33)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)

@@ -109,12 +109,22 @@ def evaluate_pnp(
         cost_fun: Huber cost object broadcastable to batch (*,).
 
     Reference: epropnp/common.py:67-100.
+
+    The contractions run at full f32 matmul precision: this is THE
+    gradient-carrying entry of the probabilistic PnP layer, and at
+    convergence (learned weight scales of O(10^2-10^3)) backward
+    intermediates of the projection einsums exceed the bfloat16 range that
+    TPUs use for default-precision matmul inputs, emitting inf -> NaN into
+    the whole gradient. The tensors here are tiny (n x 3 matmuls), so full
+    precision costs nothing.
     """
-    x2d_proj, jac_cam = camera.project(
-        x3d, pose, out_jac=out_jacobian, clip_jac=clip_jac)
-    residual, cost, jacobian = cost_fun.compute(
-        x2d_proj, x2d, w2d, jac_cam=jac_cam,
-        out_residual=out_residual, out_cost=out_cost, out_jacobian=out_jacobian)
+    with jax.default_matmul_precision('float32'):
+        x2d_proj, jac_cam = camera.project(
+            x3d, pose, out_jac=out_jacobian, clip_jac=clip_jac)
+        residual, cost, jacobian = cost_fun.compute(
+            x2d_proj, x2d, w2d, jac_cam=jac_cam,
+            out_residual=out_residual, out_cost=out_cost,
+            out_jacobian=out_jacobian)
     return PnPEval(residual, cost, jacobian)
 
 

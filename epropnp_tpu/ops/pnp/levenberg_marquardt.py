@@ -289,14 +289,21 @@ class LMSolver:
 
         Reference: epropnp/levenberg_marquardt.py:243-253.
         """
-        ev = evaluate_pnp(
-            x3d, x2d, w2d, pose, camera, cost_fun,
-            out_jacobian=True, out_residual=True)
-        jac_t = jnp.swapaxes(ev.jacobian, -1, -2)
-        jtj = jac_t @ ev.jacobian \
-            + jnp.eye(self.dof, dtype=x2d.dtype) * self.eps
-        gradient = jnp.einsum('...ij,...j->...i', jac_t, ev.residual)
-        return -solve_spd_small(jtj, gradient)
+        # Full f32 matmul precision + LU solve: this is the DIFFERENTIABLE
+        # path (reference uses torch.linalg.solve). At convergence with
+        # large learned weight scales, default-precision (bfloat16-input)
+        # matmuls and an SPD Cholesky both emit non-finite values here and
+        # poison the whole gradient. Runs once per forward, so full
+        # precision costs nothing.
+        with jax.default_matmul_precision('float32'):
+            ev = evaluate_pnp(
+                x3d, x2d, w2d, pose, camera, cost_fun,
+                out_jacobian=True, out_residual=True)
+            jac_t = jnp.swapaxes(ev.jacobian, -1, -2)
+            jtj = jac_t @ ev.jacobian \
+                + jnp.eye(self.dof, dtype=x2d.dtype) * self.eps
+            gradient = jnp.einsum('...ij,...j->...i', jac_t, ev.residual)
+            return -jnp.linalg.solve(jtj, gradient[..., None])[..., 0]
 
     def pose_add(self, pose_opt, step, camera):
         """Tangent-space pose update. Reference: :255-265."""

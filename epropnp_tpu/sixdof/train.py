@@ -263,7 +263,13 @@ def make_train_step(model: CDPN, epropnp: EProPnP6DoF, cfg: SixDoFConfig, tx,
             new_batch_stats = jax.lax.pmean(new_batch_stats, axis_name)
 
         grad_norm = optax.global_norm(grads)
-        ok = jnp.isfinite(grad_norm)
+        # per-leaf finiteness, not isfinite(grad_norm): the norm's sum of
+        # squares overflows f32 for huge-but-finite gradients
+        leaves = [jnp.all(jnp.isfinite(g))
+                  for g in jax.tree_util.tree_leaves(grads)]
+        ok = leaves[0]
+        for l in leaves[1:]:
+            ok = ok & l
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -100,7 +100,7 @@ def make_batch(seed=0, n_img=2):
         cam_intrinsic=jnp.asarray(np.tile(K, (n_img, 1, 1)), jnp.float32),
         img_shapes=jnp.full((n_img, 2), float(H)),
         ori_shapes=jnp.full((n_img, 2), float(H)),
-        img_flips=jnp.asarray([False, True][:n_img]),
+        img_flips=jnp.asarray([i % 2 == 1 for i in range(n_img)]),
         img_dense_x2d=jnp.asarray(dense, jnp.float32),
         img_dense_x2d_mask=jnp.ones((n_img, H, W, 1), jnp.float32),
         gt_bboxes=jnp.asarray(g2d),
