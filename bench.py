@@ -73,7 +73,7 @@ def bench_jax(problem, repeats=10):
         dof=6, num_iter=LM_ITER, use_pallas=on_tpu,
         init_solver=RSLMSolver(dof=6, num_points=RS_POINTS,
                                num_proposals=RS_PROPOSALS, num_iter=RS_ITER,
-                               use_pallas=on_tpu))
+                               use_pallas=on_tpu, fast_sampling=on_tpu))
     camera = PerspectiveCamera(cam_mats=cam)
     cost_fun = AdaptiveHuberPnPCost(relative_delta=0.1).set_param(x2d, w2d)
 

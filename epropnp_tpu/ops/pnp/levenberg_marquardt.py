@@ -380,6 +380,29 @@ class RSLMSolver(LMSolver):
             x3d, x2d, w2d, camera, cost_fun)
         if rng is None:
             rng = jax.random.PRNGKey(0)
+
+        if (self.use_pallas and self.fast_sampling
+                and camera.lb is None and camera.ub is None):
+            # fully fused init kernel (sampling + proposal LM + scoring);
+            # sampling is with-replacement inverse-CDF (see pallas_rslm)
+            from .pallas_lm import camera_to_fxfycxcy
+            from .pallas_rslm import rslm_init_pallas
+            bs = x2d.shape[0]
+            delta = jnp.broadcast_to(
+                jnp.asarray(cost_fun.delta, x2d.dtype), (bs,))
+            seeds = jax.random.randint(
+                rng, (bs,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            pose, min_cost = rslm_init_pallas(
+                x3d, x2d, w2d, camera_to_fxfycxcy(camera.cam_mats), delta,
+                seeds, dof=self.dof, num_points=self.num_points,
+                num_proposals=self.num_proposals, num_iter=self.num_iter,
+                z_min=camera.z_min, eps=self.eps,
+                min_lm_diagonal=self.min_lm_diagonal,
+                max_lm_diagonal=self.max_lm_diagonal,
+                min_relative_decrease=self.min_relative_decrease,
+                initial_trust_region_radius=self.initial_trust_region_radius,
+                max_trust_region_radius=self.max_trust_region_radius)
+            return pose, None, min_cost
         bs, pn, _ = x2d.shape
         p = self.num_proposals
         k_inds, k_rot = jax.random.split(rng)
