@@ -51,18 +51,20 @@ from epropnp_tpu.models.losses.monte_carlo_pose_loss import (
 
 
 def make_epropnp(mc_samples=512, num_iter=4, lm_iter=10, rs_points=8,
-                 rs_proposals=128, rs_iter=5):
+                 rs_proposals=128, rs_iter=5, use_pallas=False):
     return EProPnP6DoF(
         mc_samples=mc_samples,
         num_iter=num_iter,
         solver=LMSolver(
             dof=6,
             num_iter=lm_iter,
+            use_pallas=use_pallas,
             init_solver=RSLMSolver(
                 dof=6,
                 num_points=rs_points,
                 num_proposals=rs_proposals,
-                num_iter=rs_iter)))
+                num_iter=rs_iter,
+                use_pallas=use_pallas)))
 
 
 def init_params(rng, num_points=64, hidden=1024):
@@ -219,10 +221,11 @@ def gen_poses(rng, n, noise=0.01, dtype=jnp.float32):
 
 
 def run(n_data=65536, batch_size=256, n_epoch=10, noise=0.01, num_points=64,
-        hidden=1024, seed=0, epropnp=None, log_every=32, verbose=True):
+        hidden=1024, seed=0, epropnp=None, log_every=32, verbose=True,
+        use_pallas=False):
     """Train the identity-fit model; returns final eval metrics dict."""
     if epropnp is None:
-        epropnp = make_epropnp()
+        epropnp = make_epropnp(use_pallas=use_pallas)
     rng = jax.random.PRNGKey(seed)
     k_data, k_init, k_train, k_test = jax.random.split(rng, 4)
 
@@ -281,9 +284,11 @@ def main():
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--epochs', type=int, default=10)
     p.add_argument('--noise', type=float, default=0.01)
+    p.add_argument('--use-pallas', action='store_true',
+                   help='route LM solves through the fused TPU kernel')
     args = p.parse_args()
     run(n_data=args.n_data, batch_size=args.batch_size, n_epoch=args.epochs,
-        noise=args.noise)
+        noise=args.noise, use_pallas=args.use_pallas)
 
 
 if __name__ == '__main__':

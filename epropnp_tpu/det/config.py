@@ -23,6 +23,9 @@ class DetPnPConfig:
     rs_num_proposals: int = 64
     rs_num_iter: int = 3
     relative_delta: float = 0.5
+    # Route LM solves through the fused Pallas TPU kernel (pallas_lm.py);
+    # leave False on CPU.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

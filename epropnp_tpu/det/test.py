@@ -50,9 +50,11 @@ def build_test_pnp(cfg: DetConfig) -> EProPnP4DoF:
         mc_samples=p.mc_samples, num_iter=p.num_iter, normalize=p.normalize,
         solver=LMSolver(
             dof=4, num_iter=p.test_lm_num_iter, normalize=p.normalize,
+            use_pallas=p.use_pallas,
             init_solver=RSLMSolver(
                 dof=4, num_points=p.rs_num_points,
-                num_proposals=p.rs_num_proposals, num_iter=p.rs_num_iter)))
+                num_proposals=p.rs_num_proposals, num_iter=p.rs_num_iter,
+                use_pallas=p.use_pallas)))
 
 
 def make_inference_fn(model, cfg: DetConfig, max_obj_per_img: int = 256,

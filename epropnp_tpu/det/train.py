@@ -69,9 +69,11 @@ def build_pnp(cfg: DetConfig) -> EProPnP4DoF:
         mc_samples=p.mc_samples, num_iter=p.num_iter, normalize=p.normalize,
         solver=LMSolver(
             dof=4, num_iter=p.lm_num_iter, normalize=p.normalize,
+            use_pallas=p.use_pallas,
             init_solver=RSLMSolver(
                 dof=4, num_points=p.rs_num_points,
-                num_proposals=p.rs_num_proposals, num_iter=p.rs_num_iter)))
+                num_proposals=p.rs_num_proposals, num_iter=p.rs_num_iter,
+                use_pallas=p.use_pallas)))
 
 
 def avg_pool_stride(x, stride: int):

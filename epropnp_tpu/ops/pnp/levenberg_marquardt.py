@@ -57,8 +57,9 @@ class LMSolver:
     normalize: bool = False
     init_solver: Optional["RSLMSolver"] = None
     # Route the solve through the fused Pallas TPU kernel (pallas_lm.py).
-    # Valid for zero-skew pinhole cameras without projection bounds and a
-    # per-object Huber delta; covariance output falls back to jnp.
+    # Valid for zero-skew pinhole cameras with a per-object Huber delta;
+    # projection bounds and the pose covariance output are supported, so
+    # both the serving and the training (Monte Carlo) paths qualify.
     use_pallas: bool = False
 
     @property
@@ -125,13 +126,12 @@ class LMSolver:
                 out_jacobian=out_jacobian, out_residual=out_residual,
                 out_cost=out_cost, clip_jac=not fast_mode)
 
-        if self.use_pallas and camera.lb is None and camera.ub is None \
-                and not with_pose_cov:
+        if self.use_pallas:
             return self._solve_pallas(
                 x3d, x2d, w2d, camera, cost_fun, rng=rng,
                 pose_init=pose_init, cost_init=cost_init,
-                with_cost=with_cost, force_init_solve=force_init_solve,
-                fast_mode=fast_mode)
+                with_pose_cov=with_pose_cov, with_cost=with_cost,
+                force_init_solve=force_init_solve, fast_mode=fast_mode)
 
         # ---- initialization (reference :115-130) ----
         if pose_init is None or force_init_solve:
@@ -244,8 +244,9 @@ class LMSolver:
         return pose_opt, pose_cov, cost
 
     def _solve_pallas(self, x3d, x2d, w2d, camera, cost_fun, rng=None,
-                      pose_init=None, cost_init=None, with_cost=False,
-                      force_init_solve=False, fast_mode=False):
+                      pose_init=None, cost_init=None, with_pose_cov=False,
+                      with_cost=False, force_init_solve=False,
+                      fast_mode=False):
         """Fused-kernel path (see ops/pnp/pallas_lm.py for scope)."""
         from .pallas_lm import camera_to_fxfycxcy, lm_solve_pallas
         if pose_init is None or force_init_solve:
@@ -272,17 +273,31 @@ class LMSolver:
 
         delta = jnp.broadcast_to(
             jnp.asarray(cost_fun.delta, x2d.dtype), x2d.shape[:1])
+        if camera.lb is not None and camera.ub is not None:
+            bshape = x2d.shape[:1] + (2,)
+            bounds = jnp.concatenate(
+                [jnp.broadcast_to(jnp.asarray(camera.lb, x2d.dtype), bshape),
+                 jnp.broadcast_to(jnp.asarray(camera.ub, x2d.dtype), bshape)],
+                axis=-1)
+        else:
+            bounds = None
         tile_b = 64 if x2d.shape[1] <= 64 else 32
-        pose, cost = lm_solve_pallas(
+        out = lm_solve_pallas(
             x3d, x2d, w2d, camera_to_fxfycxcy(camera.cam_mats), delta,
-            pose_opt, dof=self.dof, num_iter=self.num_iter,
+            pose_opt, bounds=bounds, dof=self.dof, num_iter=self.num_iter,
             fast_mode=fast_mode, z_min=camera.z_min, tile_b=tile_b,
             eps=self.eps, min_lm_diagonal=self.min_lm_diagonal,
             max_lm_diagonal=self.max_lm_diagonal,
             min_relative_decrease=self.min_relative_decrease,
             initial_trust_region_radius=self.initial_trust_region_radius,
-            max_trust_region_radius=self.max_trust_region_radius)
-        return pose, None, (cost if with_cost else None)
+            max_trust_region_radius=self.max_trust_region_radius,
+            with_jtj=with_pose_cov)
+        pose, cost = out[0], out[1]
+        pose_cov = None
+        if with_pose_cov:
+            jtj = _set_diagonal(out[2], _diagonal(out[2]) + self.eps)
+            pose_cov = inv_spd_small(jtj)
+        return pose, pose_cov, (cost if with_cost else None)
 
     def gn_step(self, x3d, x2d, w2d, pose, camera, cost_fun):
         """One differentiable Gauss-Newton step at ``pose``.

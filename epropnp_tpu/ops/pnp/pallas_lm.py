@@ -9,11 +9,13 @@ axis), the 21 JtJ reductions, the damped 6x6 Cholesky solve (unrolled
 scalars), the pose update, and Ceres-style trust-region bookkeeping — all
 in VMEM, nothing but (TILE_B,)-shaped state between iterations.
 
-Scope: zero-skew pinhole cameras without projection bounds (the serving
-configuration; the reference's border clamps only matter in training,
-which uses the jnp path). dof in {4, 6}; fixed iteration count;
-``fast_mode`` = pure Gauss-Newton. Parity vs the jnp solver is tested to
-~1e-5.
+Scope: zero-skew pinhole cameras; optional projection bounds (the
+reference's training-time border clamps: residuals use the clamped
+projection, Jacobian rows are zeroed where a clamp is active) via
+``bounds``; optional final-JtJ output (``with_jtj``) so the caller can
+form the pose covariance that the Monte Carlo forward needs. dof in
+{4, 6}; fixed iteration count; ``fast_mode`` = pure Gauss-Newton.
+Parity vs the jnp solver is tested to ~1e-5.
 """
 
 from __future__ import annotations
@@ -57,10 +59,13 @@ def _chol_solve(a, g, dof):
 
 
 def _evaluate(pose_cols, x, y, z, u_t, v_t, wu, wv, fx, fy, cx, cy, delta,
-              dof, z_min, eps):
+              dof, z_min, eps, bounds=None, clip_jac=True):
     """Residual/cost/Jacobian scalars for one pose.
 
     All point arrays are (TILE_B, N); per-object scalars are (TILE_B, 1).
+    ``bounds``: None or (lb_u, lb_v, ub_u, ub_v) each (TILE_B, 1) — the
+    projection is clamped into the box and the matching Jacobian row is
+    zeroed where the clamp is active (camera.py:76-103 semantics).
     Returns (cost, jtj dict, g list).
     """
     if dof == 4:
@@ -85,6 +90,13 @@ def _evaluate(pose_cols, x, y, z, u_t, v_t, wu, wv, fx, fy, cx, cy, delta,
     u = (fx * xc + cx * zc_raw) / zc
     v = (fy * yc + cy * zc_raw) / zc
 
+    if bounds is not None:
+        lb_u, lb_v, ub_u, ub_v = bounds
+        in_u = jnp.logical_and(u > lb_u, u < ub_u).astype(u.dtype)
+        in_v = jnp.logical_and(v > lb_v, v < ub_v).astype(v.dtype)
+        u = jnp.clip(u, lb_u, ub_u)
+        v = jnp.clip(v, lb_v, ub_v)
+
     ru = (u - u_t) * wu
     rv = (v - v_t) * wv
     ss = ru * ru + rv * rv
@@ -95,12 +107,20 @@ def _evaluate(pose_cols, x, y, z, u_t, v_t, wu, wv, fx, fy, cx, cy, delta,
                   delta * s_sqrt - 0.5 * delta * delta), axis=1)[:, None]
     rho = jnp.sqrt(jnp.minimum(delta / jnp.maximum(s_sqrt, 1e-10), 1.0))
 
-    # d x2d / d xc (zero-skew pinhole); Jacobian zeroed where z clamped
-    live = (zc_raw >= z_min).astype(u.dtype)
-    du0 = fx / zc * live
-    du2 = (cx - u) / zc * live
-    dv1 = fy / zc * live
-    dv2 = (cy - v) / zc * live
+    # d x2d / d xc (zero-skew pinhole). With clip_jac (LM mode), the
+    # Jacobian is zeroed where z clamped (both rows) or a projection bound
+    # is active (that row only); fast GN mode keeps it (clip_jac=False in
+    # the jnp solver, matching the reference).
+    if clip_jac:
+        live = (zc_raw >= z_min).astype(u.dtype)
+        live_u = live * in_u if bounds is not None else live
+        live_v = live * in_v if bounds is not None else live
+    else:
+        live_u = live_v = 1.0
+    du0 = fx / zc * live_u
+    du2 = (cx - u) / zc * live_u
+    dv1 = fy / zc * live_v
+    dv2 = (cy - v) / zc * live_v
 
     swu = wu * rho
     swv = wv * rho
@@ -152,11 +172,20 @@ def _pose_add(pose_cols, step, dof):
 def _make_kernel(dof, num_iter, fast_mode, z_min, eps,
                  min_lm_diagonal, max_lm_diagonal, min_relative_decrease,
                  initial_trust_region_radius, max_trust_region_radius,
-                 cost_only=False):
+                 cost_only=False, with_bounds=False, with_jtj=False):
     pose_dim = 4 if dof == 4 else 7
+    n_tri = dof * (dof + 1) // 2
 
-    def kernel(x3d_ref, x2d_ref, w2d_ref, cam_ref, delta_ref, pose0_ref,
-               pose_out_ref, cost_out_ref):
+    def kernel(*refs):
+        refs = list(refs)
+        x3d_ref, x2d_ref, w2d_ref, cam_ref = refs[:4]
+        idx = 4
+        bounds_ref = None
+        if with_bounds:
+            bounds_ref = refs[idx]
+            idx += 1
+        delta_ref, pose0_ref, pose_out_ref, cost_out_ref = refs[idx:idx + 4]
+        jtj_out_ref = refs[idx + 4] if with_jtj else None
         x = x3d_ref[0]
         y = x3d_ref[1]
         z = x3d_ref[2]
@@ -169,26 +198,35 @@ def _make_kernel(dof, num_iter, fast_mode, z_min, eps,
         cx = cam_ref[:, 2:3]
         cy = cam_ref[:, 3:4]
         delta = delta_ref[:, 0:1]
+        bounds = None
+        if with_bounds:
+            bounds = tuple(bounds_ref[:, i:i + 1] for i in range(4))
 
         def ev(pose_cols):
             return _evaluate(pose_cols, x, y, z, u_t, v_t, wu, wv, fx, fy,
-                             cx, cy, delta, dof, z_min, eps)
+                             cx, cy, delta, dof, z_min, eps, bounds=bounds,
+                             clip_jac=not fast_mode)
 
         pose = [pose0_ref[:, i:i + 1] for i in range(pose_dim)]
+        jtj_final = None
 
         if cost_only:
             cost, _, _ = ev(pose)
         elif fast_mode:
             def gn_body(_, carry):
-                pose, cost_prev = carry
+                pose, cost_prev, jtj_prev = carry
                 cost, jtj, g = ev(pose)
+                damped = dict(jtj)
                 for a in range(dof):
-                    jtj[(a, a)] = jtj[(a, a)] + eps
-                step = _chol_solve(jtj, g, dof)
-                return _pose_add(pose, step, dof), cost
+                    damped[(a, a)] = damped[(a, a)] + eps
+                step = _chol_solve(damped, g, dof)
+                jtj_f = [jtj[(a, b)] for a in range(dof)
+                         for b in range(a + 1)]
+                return _pose_add(pose, step, dof), cost, jtj_f
 
-            (pose, cost) = jax.lax.fori_loop(
-                0, num_iter, gn_body, (pose, jnp.zeros_like(fx)))
+            (pose, cost, jtj_final) = jax.lax.fori_loop(
+                0, num_iter, gn_body,
+                (pose, jnp.zeros_like(fx), [jnp.zeros_like(fx)] * n_tri))
         else:
             cost, jtj, g = ev(pose)
             radius = jnp.full_like(fx, initial_trust_region_radius)
@@ -245,12 +283,17 @@ def _make_kernel(dof, num_iter, fast_mode, z_min, eps,
                 return pose, cost, jtj_f, g, radius, decrease
 
             carry = (pose, cost, jtj_flat(jtj), g, radius, decrease)
-            pose, cost, _, _, _, _ = jax.lax.fori_loop(
+            pose, cost, jtj_final, _, _, _ = jax.lax.fori_loop(
                 0, num_iter, lm_body, carry)
 
         for i in range(pose_dim):
             pose_out_ref[:, i:i + 1] = pose[i]
         cost_out_ref[:, 0:1] = cost
+        if with_jtj:
+            # lower-triangular entries of the JtJ at the accepted pose
+            # (pre-damping); the caller symmetrizes and inverts.
+            for i in range(n_tri):
+                jtj_out_ref[:, i:i + 1] = jtj_final[i]
 
     return kernel
 
@@ -260,8 +303,10 @@ def _make_kernel(dof, num_iter, fast_mode, z_min, eps,
                               'tile_b', 'eps', 'min_lm_diagonal',
                               'max_lm_diagonal', 'min_relative_decrease',
                               'initial_trust_region_radius',
-                              'max_trust_region_radius', 'cost_only'))
+                              'max_trust_region_radius', 'cost_only',
+                              'with_jtj'))
 def lm_solve_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, pose_init,
+                    bounds=None,
                     dof: int = 6, num_iter: int = 10,
                     fast_mode: bool = False, z_min: float = 0.1,
                     tile_b: int = 32,
@@ -271,8 +316,9 @@ def lm_solve_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, pose_init,
                     min_relative_decrease: float = 1e-3,
                     initial_trust_region_radius: float = 30.0,
                     max_trust_region_radius: float = 1e16,
-                    cost_only: bool = False
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    cost_only: bool = False,
+                    with_jtj: bool = False
+                    ) -> Tuple[jnp.ndarray, ...]:
     """Solve batched PnP with the fused kernel.
 
     Args:
@@ -280,11 +326,16 @@ def lm_solve_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, pose_init,
         cam_fxfycxcy: (B, 4) pinhole parameters (zero skew).
         delta: (B,) Huber deltas.
         pose_init: (B, 4|7).
+        bounds: None or (B, 4) [lb_u, lb_v, ub_u, ub_v] projection bounds.
+        with_jtj: also return the (B, dof, dof) JtJ at the accepted pose
+            (undamped); ``inv(JtJ + eps I)`` is the reference pose_cov.
 
-    Returns (pose_opt (B, pose_dim), cost (B,)).
+    Returns (pose_opt (B, pose_dim), cost (B,)[, jtj]).
     """
+    assert not (cost_only and with_jtj)
     b, n, _ = x3d.shape
     pose_dim = 4 if dof == 4 else 7
+    n_tri = dof * (dof + 1) // 2
     pad_b = (-b) % tile_b
     if pad_b:
         pad = lambda a: jnp.pad(a, [(0, pad_b)] + [(0, 0)] * (a.ndim - 1))
@@ -297,6 +348,9 @@ def lm_solve_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, pose_init,
         cam_fxfycxcy = cam_fxfycxcy.at[b:].set(
             jnp.asarray([1.0, 1.0, 0.0, 0.0]))
         delta = delta.at[b:].set(1.0)
+        if bounds is not None:
+            bounds = pad(bounds).at[b:].set(
+                jnp.asarray([-1e30, -1e30, 1e30, 1e30], bounds.dtype))
     bp = b + pad_b
 
     x3d_t = jnp.moveaxis(x3d, -1, 0)  # (3, B, N)
@@ -308,31 +362,57 @@ def lm_solve_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, pose_init,
                           min_lm_diagonal, max_lm_diagonal,
                           min_relative_decrease,
                           initial_trust_region_radius,
-                          max_trust_region_radius, cost_only)
+                          max_trust_region_radius, cost_only,
+                          with_bounds=bounds is not None, with_jtj=with_jtj)
     grid = (bp // tile_b,)
     bspec = lambda blk, idx: pl.BlockSpec(blk, idx,  # noqa: E731
                                           memory_space=pltpu.VMEM)
-    pose_out, cost_out = pl.pallas_call(
+    in_specs = [
+        bspec((3, tile_b, n), lambda i: (0, i, 0)),
+        bspec((2, tile_b, n), lambda i: (0, i, 0)),
+        bspec((2, tile_b, n), lambda i: (0, i, 0)),
+        bspec((tile_b, 4), lambda i: (i, 0)),
+    ]
+    inputs = [x3d_t, x2d_t, w2d_t, cam_fxfycxcy]
+    if bounds is not None:
+        in_specs.append(bspec((tile_b, 4), lambda i: (i, 0)))
+        inputs.append(bounds)
+    in_specs += [
+        bspec((tile_b, 1), lambda i: (i, 0)),
+        bspec((tile_b, pose_dim), lambda i: (i, 0)),
+    ]
+    inputs += [delta2, pose_init]
+    out_specs = [
+        bspec((tile_b, pose_dim), lambda i: (i, 0)),
+        bspec((tile_b, 1), lambda i: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, pose_dim), x3d.dtype),
+        jax.ShapeDtypeStruct((bp, 1), x3d.dtype),
+    ]
+    if with_jtj:
+        out_specs.append(bspec((tile_b, n_tri), lambda i: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bp, n_tri), x3d.dtype))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            bspec((3, tile_b, n), lambda i: (0, i, 0)),
-            bspec((2, tile_b, n), lambda i: (0, i, 0)),
-            bspec((2, tile_b, n), lambda i: (0, i, 0)),
-            bspec((tile_b, 4), lambda i: (i, 0)),
-            bspec((tile_b, 1), lambda i: (i, 0)),
-            bspec((tile_b, pose_dim), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            bspec((tile_b, pose_dim), lambda i: (i, 0)),
-            bspec((tile_b, 1), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, pose_dim), x3d.dtype),
-            jax.ShapeDtypeStruct((bp, 1), x3d.dtype),
-        ],
-    )(x3d_t, x2d_t, w2d_t, cam_fxfycxcy, delta2, pose_init)
-    return pose_out[:b], cost_out[:b, 0]
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*inputs)
+    pose_out, cost_out = outs[0], outs[1]
+    if not with_jtj:
+        return pose_out[:b], cost_out[:b, 0]
+    tri = outs[2][:b]
+    jtj = jnp.zeros((b, dof, dof), tri.dtype)
+    idx = 0
+    for a_ in range(dof):
+        for b_ in range(a_ + 1):
+            jtj = jtj.at[:, a_, b_].set(tri[:, idx])
+            if a_ != b_:
+                jtj = jtj.at[:, b_, a_].set(tri[:, idx])
+            idx += 1
+    return pose_out[:b], cost_out[:b, 0], jtj
 
 
 def camera_to_fxfycxcy(cam_mats: jnp.ndarray) -> jnp.ndarray:

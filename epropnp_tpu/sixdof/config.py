@@ -71,6 +71,9 @@ class PnPConfig:
     z_min: float = 0.01
     # Test refiner (reference lib/test.py:91-96): GN fast mode
     test_lm_num_iter: int = 3
+    # Route LM solves through the fused Pallas TPU kernel (pallas_lm.py);
+    # leave False on CPU.
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,8 +36,10 @@ def build_test_solver(cfg: SixDoFConfig, with_init_solver: bool = False):
     if with_init_solver:
         init_solver = RSLMSolver(
             dof=6, num_points=cfg.pnp.rs_num_points,
-            num_proposals=64, num_iter=cfg.pnp.rs_num_iter)
+            num_proposals=64, num_iter=cfg.pnp.rs_num_iter,
+            use_pallas=cfg.pnp.use_pallas)
     return LMSolver(dof=6, num_iter=cfg.pnp.test_lm_num_iter,
+                    use_pallas=cfg.pnp.use_pallas,
                     init_solver=init_solver)
 
 

@@ -45,11 +45,13 @@ def build_epropnp(cfg: SixDoFConfig) -> EProPnP6DoF:
         solver=LMSolver(
             dof=6,
             num_iter=p.lm_num_iter,
+            use_pallas=p.use_pallas,
             init_solver=RSLMSolver(
                 dof=6,
                 num_points=p.rs_num_points,
                 num_proposals=p.rs_num_proposals,
-                num_iter=p.rs_num_iter)))
+                num_iter=p.rs_num_iter,
+                use_pallas=p.use_pallas)))
 
 
 class TrainState(struct.PyTreeNode):

@@ -87,3 +87,53 @@ def test_pallas_matches_jnp_solver(dof, fast, monkeypatch):
         d = np.abs(p_pl[:, 3] - p_ref[:, 3])
         np.testing.assert_allclose(np.minimum(d, 2 * np.pi - d), 0.0,
                                    atol=2e-4)
+
+
+@pytest.mark.parametrize('dof,fast', [(6, False), (4, True)])
+def test_pallas_bounds_and_pose_cov_match_jnp(dof, fast, monkeypatch):
+    """Training-path features: projection bounds + JtJ/pose_cov output."""
+    x3d, x2d, w2d, cams, pose_gt, pose0 = make_problem(dof * 7 + fast,
+                                                       dof=dof)
+    delta = jnp.full((x3d.shape[0],), 0.7, jnp.float32)
+    num_iter = 5
+    b = x3d.shape[0]
+    # tight bounds so some projections actually clamp
+    lo = jnp.quantile(x2d.reshape(-1, 2), 0.05, axis=0)
+    hi = jnp.quantile(x2d.reshape(-1, 2), 0.95, axis=0)
+    lb = jnp.broadcast_to(lo, (b, 2)).astype(jnp.float32)
+    ub = jnp.broadcast_to(hi, (b, 2)).astype(jnp.float32)
+
+    solver = LMSolver(dof=dof, num_iter=num_iter)
+    camera = PerspectiveCamera(cam_mats=cams, lb=lb, ub=ub, z_min=0.1)
+    cost_fun = HuberPnPCost(delta=delta)
+    pose_ref, cov_ref, cost_ref = solver.solve(
+        x3d, x2d, w2d, camera, cost_fun, pose_init=pose0, with_cost=True,
+        with_pose_cov=True, fast_mode=fast)
+
+    import epropnp_tpu.ops.pnp.pallas_lm as pk
+    orig = pk.pl.pallas_call
+    monkeypatch.setattr(
+        pk.pl, 'pallas_call',
+        lambda *a, **k: orig(*a, interpret=True, **k))
+    solver_pl = LMSolver(dof=dof, num_iter=num_iter, use_pallas=True)
+    pose_pl, cov_pl, cost_pl = solver_pl.solve(
+        x3d, x2d, w2d, camera, cost_fun, pose_init=pose0, with_cost=True,
+        with_pose_cov=True, fast_mode=fast)
+
+    assert np.isfinite(np.asarray(x2d)).all()
+    # with tight bounds, confirm clamps were actually exercised
+    proj, _ = camera.project(x3d, pose_ref)
+    assert (np.asarray(proj) == np.asarray(lb)[:, None]).any() \
+        or (np.asarray(proj) == np.asarray(ub)[:, None]).any()
+
+    np.testing.assert_allclose(np.asarray(cost_pl), np.asarray(cost_ref),
+                               rtol=2e-4, atol=1e-4)
+    p_ref, p_pl = np.asarray(pose_ref), np.asarray(pose_pl)
+    np.testing.assert_allclose(p_pl[:, :3], p_ref[:, :3], atol=5e-4)
+    if dof == 6:
+        dot = np.abs(np.sum(p_pl[:, 3:] * p_ref[:, 3:], axis=-1))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+    # pose covariance parity (relative to per-object covariance scale)
+    c_ref, c_pl = np.asarray(cov_ref), np.asarray(cov_pl)
+    scale = np.abs(c_ref).max(axis=(-2, -1), keepdims=True)
+    np.testing.assert_allclose(c_pl / scale, c_ref / scale, atol=2e-3)
