@@ -37,6 +37,7 @@ def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
         pred_attr=cfg.pred_attr,
         num_attrs=cfg.num_attrs,
         score_type=cfg.score_type,
+        backbone_dtype=jnp.bfloat16 if cfg.bf16_backbone else None,
         **overrides)
 
 

@@ -73,6 +73,8 @@ class DetConfig:
     num_attrs: int = 9
     score_type: str = 'te'
     with_loss_regr: bool = False
+    # Mixed precision: backbone + FPN in bfloat16, heads/PnP in float32.
+    bf16_backbone: bool = False
     pnp: DetPnPConfig = dataclasses.field(default_factory=DetPnPConfig)
     loss: DetLossWeights = dataclasses.field(default_factory=DetLossWeights)
     train: DetTrainConfig = dataclasses.field(default_factory=DetTrainConfig)

@@ -33,12 +33,17 @@ class CDPN(nn.Module):
     rot_filters: int = 256
     trans_filters: int = 256
     dtype: Any = jnp.float32
+    # Mixed-precision recipe: run the conv-heavy backbone in bfloat16
+    # (params stay float32) while the heads and the PnP layer keep
+    # ``dtype``. None = backbone uses ``dtype`` too.
+    backbone_dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool = True) -> CDPNOutputs:
         feat, = ResNetBackbone(self.depth, out_indices=(4,),
-                               dtype=self.dtype,
+                               dtype=self.backbone_dtype or self.dtype,
                                name='backbone')(img, train=train)
+        feat = feat.astype(self.dtype)
         noc, w2d, scale = RotHead(num_filters=self.rot_filters,
                                   dtype=self.dtype,
                                   name='rot_head')(feat, train=train)

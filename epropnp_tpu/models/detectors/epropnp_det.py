@@ -43,16 +43,20 @@ class EProPnPDet(nn.Module):
     dcn_on_last_conv: bool = True
     detector_cfg: Any = None  # extra FCOSEmbHead overrides (dict)
     dtype: Any = jnp.float32
+    # Mixed-precision recipe: backbone + FPN in bfloat16 (params stay
+    # float32), heads in ``dtype``. None = same dtype everywhere.
+    backbone_dtype: Any = None
 
     def setup(self):
+        bdt = self.backbone_dtype or self.dtype
         self.backbone = ResNetBackbone(
             depth=self.backbone_depth, out_indices=(1, 2, 3, 4),
-            dcn_stages=self.backbone_dcn_stages, dtype=self.dtype)
+            dcn_stages=self.backbone_dcn_stages, dtype=bdt)
         spec_mult = 1 if self.backbone_depth in (18, 34) else 4
         in_ch = tuple(c * spec_mult for c in (64, 128, 256, 512))
         num_levels = len(self.strides)
         self.neck = FPN(in_channels=in_ch, out_channels=self.embed_dims,
-                        num_outs=num_levels, dtype=self.dtype)
+                        num_outs=num_levels, dtype=bdt)
         det_lvl_lo = 1 if self.strides[0] * 2 == self.strides[1] and \
             len(self.strides) == 6 else 0
         self.head = DeformPnPHead(
@@ -80,7 +84,7 @@ class EProPnPDet(nn.Module):
     def extract_feat(self, img, train: bool = False):
         """images (n, h, w, 3) -> FPN pyramid (strides[0]..)."""
         feats = self.backbone(img, train=train)
-        return self.neck(feats)
+        return [f.astype(self.dtype) for f in self.neck(feats)]
 
     def det_dense(self, img, img_shape, train: bool = False):
         feats = self.extract_feat(img, train=train)

@@ -19,6 +19,8 @@ class NetworkConfig:
     back_freeze: bool = False
     rot_head_freeze: bool = False
     trans_head_freeze: bool = False
+    # Mixed precision: backbone convs in bfloat16, heads/PnP in float32.
+    bf16_backbone: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,7 +28,9 @@ from .config import SixDoFConfig
 def build_all(cfg: SixDoFConfig, steps_per_epoch: int = 1,
               axis_name: Optional[str] = None, cam_intrinsic=None):
     """Model + PnP + optimizer + train step builder."""
-    model = CDPN(depth=cfg.network.back_layers_num)
+    model = CDPN(depth=cfg.network.back_layers_num,
+                 backbone_dtype=jnp.bfloat16
+                 if cfg.network.bf16_backbone else None)
     epropnp = train_lib.build_epropnp(cfg)
     tx = train_lib.make_optimizer(cfg, steps_per_epoch)
     cam = jnp.asarray(
@@ -130,7 +132,9 @@ def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
     from .eval_metrics import PoseEvaluator
 
     logger = get_logger('epropnp_tpu.6dof')
-    model = CDPN(depth=cfg.network.back_layers_num)
+    model = CDPN(depth=cfg.network.back_layers_num,
+                 backbone_dtype=jnp.bfloat16
+                 if cfg.network.bf16_backbone else None)
     evaluator = PoseEvaluator(list(models), models, diameters,
                               cam_k=np.asarray(ref.CAMERA_MATRIX))
     cam = jnp.asarray(ref.CAMERA_MATRIX, jnp.float32)
