@@ -4,3 +4,4 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from .sampler import HostShardSampler  # noqa: F401
