@@ -126,6 +126,9 @@ def build_correspondences(noc, w2d, scale, batch: Batch, cam_intrinsic,
     random point subset (None keeps all out_res^2 points, the test path).
     """
     bs = noc.shape[0]
+    assert noc.shape[1] == out_res and noc.shape[2] == out_res, (
+        f'dense map resolution {noc.shape[1:3]} != cfg out_res={out_res}; '
+        'check DataIterConfig.inp_res/out_res against the batch images')
     x3d = noc * batch.dim[:, None, None, :]                    # (bs, h, w, 3)
 
     s = jnp.floor(batch.s_box)  # reference casts to int64

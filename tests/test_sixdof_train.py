@@ -119,3 +119,17 @@ def test_train_step_multi_device_pmean():
     moved = jax.tree_util.tree_map(
         lambda a, b: bool(jnp.any(a != b)), state.params, new_state.params)
     assert any(jax.tree_util.tree_leaves(moved))
+
+
+def test_out_res_mismatch_raises_clear_error():
+    """A cfg/batch resolution mismatch fails fast with a named assert
+    (was: an opaque reshape error deep inside the train step)."""
+    import pytest
+    from epropnp_tpu.sixdof.train import build_correspondences
+    batch = make_batch(0, bs=2, inp_res=64, out_res=16)
+    noc = jnp.zeros((2, 16, 16, 3))
+    w2d = jnp.zeros((2, 16, 16, 2))
+    scale = jnp.ones((2, 2))
+    cam = jnp.eye(3)
+    with pytest.raises(AssertionError, match='out_res'):
+        build_correspondences(noc, w2d, scale, batch, cam, out_res=64)
