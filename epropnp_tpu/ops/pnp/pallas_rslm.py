@@ -14,6 +14,31 @@ statistically near-identical for this init heuristic and documented at the
 call site.
 
 Scope matches ``pallas_lm``: zero-skew pinhole, no projection bounds.
+
+Two kernel layouts:
+
+- **packed** (default when ``128 % num_points == 0`` and ``n % 128 == 0``):
+  the proposal refinement runs at (num_proposals, 16) shapes per object,
+  which would leave 7/8 of the 128-lane VPU idle — so ``128 // num_points``
+  objects are packed side-by-side into the lane axis (lanes = objects x
+  points). Per-object reductions (cost, the JtJ triangle, the gradient)
+  become ONE stacked block-diagonal-mask matmul on the MXU per evaluation,
+  and the trust-region scalars run at (num_proposals, obj_pack) instead of
+  obj_pack separate (num_proposals, 1) instances. Sampling is batched over
+  all packed objects with a two-level inverse-CDF search (coarse over the
+  128 lane-blocks, fine within the selected block); the cdf block tables
+  are precomputed with plain XLA so the kernel issues a handful of big
+  matmuls per proposal chunk instead of ~30 tiny ops per object (the
+  per-object variant was instruction-issue-bound at ~3x the runtime).
+- **legacy** (fallback for irregular ``num_points``/``n``): one object at
+  a time, points on the lane axis.
+
+Mosaic layout rules learned the hard way (kept here for future kernels):
+concat/reshape of *offset* vector slices fails to lower ("result/input
+offset mismatch"), and (1,1)->(p,n) splat chains can fold into unsupported
+broadcasts. Packing/unpacking is therefore expressed as 0/1-mask matmuls
+over offset-0 operands (ref loads, matmul outputs); (rows, 1) -> 2D
+reshapes of matmul outputs are the one reliably lowerable reshape.
 """
 
 from __future__ import annotations
@@ -202,6 +227,437 @@ def _make_kernel(dof, num_points, num_proposals, num_iter, n_full, z_min,
     return kernel
 
 
+def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
+                        z_min, eps, min_lm_diagonal, max_lm_diagonal,
+                        min_relative_decrease, initial_trust_region_radius,
+                        max_trust_region_radius, obj_pack):
+    pose_dim = 4 if dof == 4 else 7
+    p = num_proposals
+    k = num_points
+    m = obj_pack
+    lanes = m * k
+    n_tri = dof * (dof + 1) // 2
+
+    # proposal-axis chunking keeps the (chunk_p*m*k, 256) sampling
+    # intermediates well under the ~16 MB VMEM budget
+    chunk_p = max(1, min(p, 1024 // (m * k)))
+    while p % chunk_p:
+        chunk_p -= 1
+    n_chunks = p // chunk_p
+
+    def kernel(seed_ref, x3d_ref, x2d_ref, w2d_ref, cam_ref, delta_ref,
+               cb_ref, cbl_ref, csum_ref, lo_ref, rows_ref,
+               pose_out_ref, cost_out_ref):
+        # x3d_ref: (3, m, n); x2d/w2d_ref: (2, m, n); cam_ref: (m, 4);
+        # delta_ref: (m, 1); cb/cbl_ref: (m, 128) per-object block cdf
+        # bounds; csum/lo_ref: (1, 128, m*s) inclusive/exclusive cdf values
+        # regrouped per lane-block; rows_ref: (1, 128, m*s*8) channel
+        # values [x,y,z,u,v,wu,wv,0] in the same layout;
+        # outs: (m, 1, pose_dim), (m, 1, 1)
+        x_f = x3d_ref[0]                                 # (m, n)
+        y_f = x3d_ref[1]
+        z_f = x3d_ref[2]
+        u_f = x2d_ref[0]
+        v_f = x2d_ref[1]
+        wu_f = w2d_ref[0]
+        wv_f = w2d_ref[1]
+        fx = cam_ref[:, 0:1]                             # (m, 1)
+        fy = cam_ref[:, 1:2]
+        cx = cam_ref[:, 2:3]
+        cy = cam_ref[:, 3:4]
+        delta = delta_ref[:, 0:1]
+
+        # ---- center-based translation init, batched over the m objects ----
+        inv_n = 1.0 / n_full
+        bessel = 1.0 / (n_full - 1)
+        xc_f = (u_f - cx) / fx                           # (m, n)
+        yc_f = (v_f - cy) / fy
+        xc_mean = jnp.sum(xc_f, axis=1)[:, None] * inv_n
+        yc_mean = jnp.sum(yc_f, axis=1)[:, None] * inv_n
+        xc_var = jnp.sum((xc_f - xc_mean) ** 2, axis=1)[:, None] * bessel
+        yc_var = jnp.sum((yc_f - yc_mean) ** 2, axis=1)[:, None] * bessel
+
+        def var_of(a):
+            mu = jnp.sum(a, axis=1)[:, None] * inv_n
+            return jnp.sum((a - mu) ** 2, axis=1)[:, None] * bessel
+
+        x3_var, y3_var, z3_var = var_of(x_f), var_of(y_f), var_of(z_f)
+        if dof == 4:
+            scale = jnp.sqrt(y3_var) / jnp.maximum(jnp.sqrt(yc_var), 1e-6)
+        else:
+            norm3 = jnp.sqrt(x3_var + y3_var + z3_var)
+            normc = jnp.sqrt(jnp.maximum(xc_var + yc_var, 1e-12))
+            scale = math.sqrt(2.0 / 3.0) * norm3 / jnp.maximum(normc, 1e-6)
+        t0 = [xc_mean * scale, yc_mean * scale, scale]   # each (m, 1)
+
+        # Mosaic rejects concat/reshape of offset vector slices, so all
+        # packing/unpacking below is expressed as 0/1-mask matmuls over
+        # freshly-loaded (offset-0) operands.
+        ei = jax.lax.broadcasted_iota(jnp.int32, (m, lanes), 0)
+        el = jax.lax.broadcasted_iota(jnp.int32, (m, lanes), 1)
+        expand_mat = (el // k == ei).astype(jnp.float32)       # (m, lanes)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (lanes, m), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (lanes, m), 1)
+        group_mask = (ri // k == rj).astype(jnp.float32)       # (lanes, m)
+        ones_1m = jnp.ones((1, m), jnp.float32)
+
+        def lane_vec(s):
+            """(m, 1) per-object scalars -> (1, lanes), repeated k times."""
+            return jnp.dot(ones_1m, s * expand_mat,
+                           preferred_element_type=jnp.float32)
+
+        def row_vec(s):
+            """(m, 1) -> (1, m): transpose via sum over masked rows."""
+            eye_m = (jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+                     == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+                     ).astype(jnp.float32)
+            return jnp.dot(ones_1m, s * eye_m,
+                           preferred_element_type=jnp.float32)
+
+        fx_l, fy_l, cx_l, cy_l, d_l = map(lane_vec, (fx, fy, cx, cy, delta))
+
+        # ---- weighted inverse-CDF sampling, batched over ALL m objects ----
+        # Two-level search: coarse interval test over the 128 lane-blocks,
+        # then a fine test over the s = n/128 bins of the selected block.
+        # The cdf tables (cb/cbl block bounds, per-block inclusive/exclusive
+        # cdf values, regrouped channel values) are precomputed with plain
+        # XLA outside the kernel, so the kernel issues a handful of big
+        # matmuls per chunk instead of ~30 tiny ops per object (the
+        # per-object variant was instruction-issue-bound, not FLOP-bound).
+        # Draw layout: row r of a chunk = (proposal pr, object o, point i)
+        # with r = pr*(m*k) + o*k + i, so the gathered column reshapes
+        # DIRECTLY into the (p, m*k) packed lane layout.
+        mm = lambda a, b: jnp.dot(  # noqa: E731
+            a, b, preferred_element_type=jnp.float32)
+        s_blk = n_full // 128
+        ms = m * s_blk
+        cb_m = cb_ref[...]                               # (m, 128)
+        cbl_m = cbl_ref[...]
+        csum_cat = csum_ref[0]                           # (128, m*s)
+        lo_cat = lo_ref[0]
+        rows_cat = rows_ref[0]                           # (128, m*s*8)
+        last_sel = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                    == 127).astype(jnp.float32)
+        totals = mm(cb_m, last_sel)                      # (m, 1)
+
+        pltpu.prng_seed(seed_ref[pl.program_id(0) * m])
+        rc = chunk_p * m * k
+        bi_c = jax.lax.broadcasted_iota(jnp.int32, (rc, m), 0)
+        bj_c = jax.lax.broadcasted_iota(jnp.int32, (rc, m), 1)
+        blk_ind = ((bi_c // k) % m == bj_c).astype(jnp.float32)  # (rc, m)
+        fi_c = jax.lax.broadcasted_iota(jnp.int32, (rc, ms), 0)
+        fj_c = jax.lax.broadcasted_iota(jnp.int32, (rc, ms), 1)
+        ownmask = (fj_c // s_blk == (fi_c // k) % m).astype(jnp.float32)
+        r8i = jax.lax.broadcasted_iota(jnp.int32, (ms, ms * 8), 0)
+        r8j = jax.lax.broadcasted_iota(jnp.int32, (ms, ms * 8), 1)
+        rep8 = (r8j // 8 == r8i).astype(jnp.float32)     # (ms, ms*8)
+        co_i = jax.lax.broadcasted_iota(jnp.int32, (ms * 8, 8), 0)
+        co_j = jax.lax.broadcasted_iota(jnp.int32, (ms * 8, 8), 1)
+        collapse = (co_i % 8 == co_j).astype(jnp.float32)  # (ms*8, 8)
+        ch_i = jax.lax.broadcasted_iota(jnp.int32, (8, 7), 0)
+        ch_j = jax.lax.broadcasted_iota(jnp.int32, (8, 7), 1)
+        ch_sel = (ch_i == ch_j).astype(jnp.float32)      # (8, 7)
+
+        chan_chunks = [[] for _ in range(7)]
+        for _ in range(n_chunks):
+            u = _uniform((rc, 1)) * mm(blk_ind, totals)
+            cb_r = mm(blk_ind, cb_m)                     # (rc, 128)
+            cbl_r = mm(blk_ind, cbl_m)
+            coarse = ((u >= cbl_r) & (u < cb_r)).astype(jnp.float32)
+            inner = mm(coarse, csum_cat)                 # (rc, m*s)
+            lfine = mm(coarse, lo_cat)
+            fine = ((u >= lfine) & (u < inner)).astype(jnp.float32) \
+                * ownmask
+            tmp = mm(coarse, rows_cat)                   # (rc, m*s*8)
+            fine8 = mm(fine, rep8)
+            gath = mm(fine8 * tmp, collapse)             # (rc, 8)
+            for c in range(7):
+                gc = mm(gath, ch_sel[:, c:c + 1])        # (rc, 1)
+                chan_chunks[c].append(gc.reshape(chunk_p, lanes))
+        x_s, y_s, z_s, u_s, v_s, wu_s, wv_s = (
+            c[0] if n_chunks == 1 else jnp.concatenate(c, axis=0)
+            for c in chan_chunks)                        # (p, lanes)
+
+        # ---- pose columns (p, m): objects on the lane axis ----
+        ones_p1 = jnp.ones((p, 1), jnp.float32)
+        t_cols = [jnp.dot(ones_p1, row_vec(t0[c]),
+                          preferred_element_type=jnp.float32)
+                  for c in range(3)]
+        if dof == 4:
+            rot_cols = [_uniform((p, m)) * (2.0 * math.pi)]
+        else:
+            # Box-Muller quaternions for all objects at once: (p, 4m)
+            u1 = jnp.maximum(_uniform((p, 4 * m)), 1e-12)
+            u2 = _uniform((p, 4 * m))
+            normal = jnp.sqrt(-2.0 * jnp.log(u1)) \
+                * jnp.cos(2.0 * math.pi * u2)
+            g4i = jax.lax.broadcasted_iota(jnp.int32, (4 * m, m), 0)
+            g4j = jax.lax.broadcasted_iota(jnp.int32, (4 * m, m), 1)
+            group4 = (g4i // 4 == g4j).astype(jnp.float32)   # (4m, m)
+            qn = jnp.sqrt(mm(normal * normal, group4))       # (p, m)
+            rp4i = jax.lax.broadcasted_iota(jnp.int32, (m, 4 * m), 0)
+            rp4j = jax.lax.broadcasted_iota(jnp.int32, (m, 4 * m), 1)
+            rep4 = (rp4j // 4 == rp4i).astype(jnp.float32)   # (m, 4m)
+            qn_exp = mm(qn, rep4)                            # (p, 4m)
+            e0 = (jax.lax.broadcasted_iota(jnp.int32, (p, 4 * m), 1) % 4
+                  == 0).astype(jnp.float32)
+            quat = jnp.where(qn_exp < eps, e0,
+                             normal / jnp.maximum(qn_exp, 1e-30))
+            rot_cols = [
+                mm(quat, (g4i == g4j * 4 + c).astype(jnp.float32))
+                for c in range(4)]                           # each (p, m)
+        pose = t_cols + rot_cols
+
+        def ev_packed(pose_cols):
+            """cost/JtJ/gradient, all (p, m); one matmul for the
+            lane-expansion of the pose, one for all 28 reductions."""
+            ps = jnp.concatenate(pose_cols, axis=0)            # (pd*p, m)
+            pe = jnp.dot(ps, expand_mat,
+                         preferred_element_type=jnp.float32)   # (pd*p, L)
+            cols = [pe[i * p:(i + 1) * p] for i in range(pose_dim)]
+            if dof == 4:
+                tx, ty, tz, yaw = cols
+                cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
+                xr = cy_ * x_s + sy_ * z_s
+                yr = y_s
+                zr = -sy_ * x_s + cy_ * z_s
+            else:
+                tx, ty, tz, qw, qi, qj, qk = cols
+                qn = jax.lax.rsqrt(
+                    qw * qw + qi * qi + qj * qj + qk * qk + 1e-24)
+                w, i_, j_, k_ = qw * qn, qi * qn, qj * qn, qk * qn
+                xr = (1 - 2 * (j_ * j_ + k_ * k_)) * x_s \
+                    + 2 * (i_ * j_ - k_ * w) * y_s \
+                    + 2 * (i_ * k_ + j_ * w) * z_s
+                yr = 2 * (i_ * j_ + k_ * w) * x_s \
+                    + (1 - 2 * (i_ * i_ + k_ * k_)) * y_s \
+                    + 2 * (j_ * k_ - i_ * w) * z_s
+                zr = 2 * (i_ * k_ - j_ * w) * x_s \
+                    + 2 * (j_ * k_ + i_ * w) * y_s \
+                    + (1 - 2 * (i_ * i_ + j_ * j_)) * z_s
+            xc, yc, zc_raw = xr + tx, yr + ty, zr + tz
+            zc = jnp.maximum(zc_raw, z_min)
+            u = (fx_l * xc + cx_l * zc_raw) / zc
+            v = (fy_l * yc + cy_l * zc_raw) / zc
+            ru = (u - u_s) * wu_s
+            rv = (v - v_s) * wv_s
+            ss = ru * ru + rv * rv
+            s_sqrt = jnp.sqrt(jnp.maximum(ss, 1e-24))
+            cost_el = jnp.where(s_sqrt <= d_l, 0.5 * ss,
+                                d_l * s_sqrt - 0.5 * d_l * d_l)
+            rho = jnp.sqrt(jnp.minimum(d_l / jnp.maximum(s_sqrt, 1e-10),
+                                       1.0))
+            live = (zc_raw >= z_min).astype(u.dtype)
+            du0 = fx_l / zc * live
+            du2 = (cx_l - u) / zc * live
+            dv1 = fy_l / zc * live
+            dv2 = (cy_l - v) / zc * live
+            swu = wu_s * rho
+            swv = wv_s * rho
+            if dof == 4:
+                ju = [du0 * swu, jnp.zeros_like(du0), du2 * swu,
+                      (du0 * zr - du2 * xr) * swu]
+                jv = [jnp.zeros_like(dv1), dv1 * swv, dv2 * swv,
+                      (-dv2 * xr) * swv]
+            else:
+                w0, w1, w2 = 2 * xr, 2 * yr, 2 * zr
+                ju = [du0 * swu, jnp.zeros_like(du0), du2 * swu,
+                      (-du2 * w1) * swu,
+                      (-du0 * w2 + du2 * w0) * swu,
+                      (du0 * w1) * swu]
+                jv = [jnp.zeros_like(dv1), dv1 * swv, dv2 * swv,
+                      (dv1 * w2 - dv2 * w1) * swv,
+                      (dv2 * w0) * swv,
+                      (-dv1 * w0) * swv]
+            ru_s = ru * rho
+            rv_s = rv * rho
+            red_ops = [cost_el]
+            for a in range(dof):
+                for b in range(a + 1):
+                    red_ops.append(ju[a] * ju[b] + jv[a] * jv[b])
+            for a in range(dof):
+                red_ops.append(ju[a] * ru_s + jv[a] * rv_s)
+            red = jnp.dot(jnp.concatenate(red_ops, axis=0), group_mask,
+                          preferred_element_type=jnp.float32)
+            cost = red[:p]
+            jtj = {}
+            idx = 1
+            for a in range(dof):
+                for b in range(a + 1):
+                    jtj[(a, b)] = red[idx * p:(idx + 1) * p]
+                    idx += 1
+            g = []
+            for a in range(dof):
+                g.append(red[idx * p:(idx + 1) * p])
+                idx += 1
+            return cost, jtj, g
+
+        # ---- trust-region LM on (p, m) state ----
+        cost, jtj, g = ev_packed(pose)
+        radius = jnp.full_like(cost, initial_trust_region_radius)
+        decrease = jnp.full_like(cost, 2.0)
+        tri = [(a, b) for a in range(dof) for b in range(a + 1)]
+
+        def lm_body(_, carry):
+            pose, cost, jtj_f, g, radius, decrease = carry
+            jtj = dict(zip(tri, jtj_f))
+            damped = dict(jtj)
+            for a in range(dof):
+                d = jtj[(a, a)]
+                damped[(a, a)] = d + jnp.clip(
+                    d, min_lm_diagonal, max_lm_diagonal) / radius + eps
+            step = _chol_solve(damped, g, dof)
+            pose_new = _pose_add(pose, step, dof)
+            cost_new, jtj_new, g_new = ev_packed(pose_new)
+            mcc = jnp.zeros_like(cost)
+            for a in range(dof):
+                hs = jnp.zeros_like(cost)
+                for b in range(dof):
+                    key = (a, b) if a >= b else (b, a)
+                    hs = hs + jtj[key] * step[b]
+                mcc = mcc - step[a] * (hs * 0.5 + g[a])
+            rel = (cost - cost_new) / mcc
+            ok = jnp.logical_and(rel >= min_relative_decrease, mcc > 0)
+            sel = lambda a, b: jnp.where(ok, a, b)  # noqa: E731
+            pose = [sel(pn, po) for pn, po in zip(pose_new, pose)]
+            cost = sel(cost_new, cost)
+            jtj_f = [sel(jtj_new[t], o_) for t, o_ in zip(tri, jtj_f)]
+            g = [sel(n_, o_) for n_, o_ in zip(g_new, g)]
+            r_ok = radius / jnp.maximum(
+                1.0 - (2.0 * rel - 1.0) ** 3, 1.0 / 3.0)
+            radius = jnp.clip(jnp.where(ok, r_ok, radius), eps,
+                              max_trust_region_radius)
+            radius = jnp.where(ok, radius, radius / decrease)
+            decrease = jnp.where(ok, 2.0, decrease * 2.0)
+            return pose, cost, jtj_f, g, radius, decrease
+
+        carry = (pose, cost, [jtj[t] for t in tri], g, radius, decrease)
+        for it in range(num_iter):
+            carry = lm_body(it, carry)
+        pose = carry[0]
+
+        # ---- score every proposal on the full point set; argmin/object ----
+        oj_r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        for o in range(m):
+            e_o = (oj_r == o).astype(jnp.float32)            # (m, 1)
+            pose_o = [jnp.dot(c, e_o, preferred_element_type=jnp.float32)
+                      for c in pose]                         # (p, 1) offset-0
+            big = lambda a: jnp.broadcast_to(a, (p, n_full))  # noqa: E731
+            # (1, 1)->(p, 1) splats fold into unsupported broadcasts;
+            # materialize per-object scalars with a (p,1)@(1,4) matmul
+            ones_p1 = jnp.ones((p, 1), jnp.float32)
+            cam_p = jnp.dot(ones_p1, cam_ref[o:o + 1],
+                            preferred_element_type=jnp.float32)  # (p, 4)
+            d_o = jnp.dot(ones_p1, delta_ref[o:o + 1],
+                          preferred_element_type=jnp.float32)    # (p, 1)
+            cost_full, _, _ = _evaluate(
+                pose_o, big(x3d_ref[0, o:o + 1]), big(x3d_ref[1, o:o + 1]),
+                big(x3d_ref[2, o:o + 1]), big(x2d_ref[0, o:o + 1]),
+                big(x2d_ref[1, o:o + 1]), big(w2d_ref[0, o:o + 1]),
+                big(w2d_ref[1, o:o + 1]), cam_p[:, 0:1], cam_p[:, 1:2],
+                cam_p[:, 2:3], cam_p[:, 3:4], d_o, dof, z_min, eps)
+            cmin = jnp.min(cost_full, axis=0)[None]          # (1, 1)
+            is_best = (cost_full <= cmin).astype(jnp.float32)
+            is_best = is_best / jnp.sum(is_best, axis=0)[None]
+            for i in range(pose_dim):
+                pose_out_ref[o, :, i:i + 1] = jnp.sum(
+                    pose_o[i] * is_best, axis=0)[None]
+            cost_out_ref[o, :, 0:1] = cmin
+
+    return kernel
+
+
+def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
+                      num_points, num_proposals, num_iter, obj_pack, z_min,
+                      eps, min_lm_diagonal, max_lm_diagonal,
+                      min_relative_decrease, initial_trust_region_radius,
+                      max_trust_region_radius):
+    b, n, _ = x3d.shape
+    m = obj_pack
+    pose_dim = 4 if dof == 4 else 7
+    pad_b = (-b) % m
+    if pad_b:
+        pad = lambda a: jnp.pad(a, [(0, pad_b)] + [(0, 0)] * (a.ndim - 1))
+        # benign padding: zero geometry, unit weights/cam -> the dummy
+        # objects converge to the z_min clamp with zeroed Jacobians
+        x3d, x2d = pad(x3d), pad(x2d)
+        w2d = pad(w2d).at[b:].set(1.0)
+        cam_fxfycxcy = pad(cam_fxfycxcy).at[b:].set(
+            jnp.asarray([1.0, 1.0, 0.0, 0.0]))
+        delta = pad(delta).at[b:].set(1.0)
+        seeds = pad(seeds)
+    bp = b + pad_b
+    nt = bp // m
+    s_blk = n // 128
+
+    # XLA pre-pass: exact inclusive/exclusive cdf of the mean weights and
+    # the per-lane-block regrouped tables the kernel's two-level inverse-CDF
+    # search consumes. lower is csum shifted by one (NOT csum - w), so
+    # adjacent sampling intervals share boundaries bit-exactly and exactly
+    # one (block, bin) fires per draw.
+    f32 = jnp.float32
+    mean_w = jnp.mean(w2d.astype(f32), axis=-1)          # (B, n)
+    csum = jnp.cumsum(mean_w, axis=-1)
+    lo = jnp.pad(csum[:, :-1], ((0, 0), (1, 0)))
+    csum_r = csum.reshape(bp, 128, s_blk)
+    lo_r = lo.reshape(bp, 128, s_blk)
+    cb = csum_r[..., -1]                                 # (B, 128)
+    cbl = lo_r[..., 0]
+    rows = jnp.concatenate(
+        [x3d.astype(f32), x2d.astype(f32), w2d.astype(f32),
+         jnp.zeros((bp, n, 1), f32)], axis=-1)           # (B, n, 8)
+    regroup = lambda a, d: a.reshape(nt, m, 128, s_blk * d).transpose(  # noqa: E731,E501
+        0, 2, 1, 3).reshape(nt, 128, m * s_blk * d)
+    csum_cat = regroup(csum_r, 1)                        # (nt, 128, m*s)
+    lo_cat = regroup(lo_r, 1)
+    rows_cat = regroup(rows.reshape(bp, 128, s_blk * 8), 8)
+
+    kernel = _make_packed_kernel(
+        dof, num_points, num_proposals, num_iter, n, z_min, eps,
+        min_lm_diagonal, max_lm_diagonal, min_relative_decrease,
+        initial_trust_region_radius, max_trust_region_radius, m)
+    x3d_t = jnp.moveaxis(x3d, -1, 0)   # (3, B, n)
+    x2d_t = jnp.moveaxis(x2d, -1, 0)
+    w2d_t = jnp.moveaxis(w2d, -1, 0)
+    delta2 = delta[:, None]
+    bspec = lambda blk, idx: pl.BlockSpec(blk, idx,  # noqa: E731
+                                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            bspec((3, m, n), lambda i, s: (0, i, 0)),
+            bspec((2, m, n), lambda i, s: (0, i, 0)),
+            bspec((2, m, n), lambda i, s: (0, i, 0)),
+            bspec((m, 4), lambda i, s: (i, 0)),
+            bspec((m, 1), lambda i, s: (i, 0)),
+            bspec((m, 128), lambda i, s: (i, 0)),
+            bspec((m, 128), lambda i, s: (i, 0)),
+            bspec((1, 128, m * s_blk), lambda i, s: (i, 0, 0)),
+            bspec((1, 128, m * s_blk), lambda i, s: (i, 0, 0)),
+            bspec((1, 128, m * s_blk * 8), lambda i, s: (i, 0, 0)),
+        ],
+        out_specs=[
+            bspec((m, 1, pose_dim), lambda i, s: (i, 0, 0)),
+            bspec((m, 1, 1), lambda i, s: (i, 0, 0)),
+        ],
+    )
+    pose, cost = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 1, pose_dim), x3d.dtype),
+            jax.ShapeDtypeStruct((bp, 1, 1), x3d.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the chunked sampling stage peaks above the default 16 MB
+            # scoped-vmem budget; v5e has 128 MB of physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(seeds, x3d_t, x2d_t, w2d_t, cam_fxfycxcy, delta2,
+      cb, cbl, csum_cat, lo_cat, rows_cat)
+    return pose[:b, 0], cost[:b, 0, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=('dof', 'num_points', 'num_proposals',
                               'num_iter', 'z_min', 'eps', 'min_lm_diagonal',
@@ -224,6 +680,13 @@ def rslm_init_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds,
     Args:
         seeds: (B,) int32 per-object PRNG seeds.
     """
+    if (num_points <= 128 and 128 % num_points == 0
+            and x3d.shape[1] % 128 == 0):
+        return _rslm_init_packed(
+            x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof, num_points,
+            num_proposals, num_iter, 128 // num_points, z_min, eps,
+            min_lm_diagonal, max_lm_diagonal, min_relative_decrease,
+            initial_trust_region_radius, max_trust_region_radius)
     b, n, _ = x3d.shape
     assert b % tile_obj == 0, (b, tile_obj)
     pose_dim = 4 if dof == 4 else 7
