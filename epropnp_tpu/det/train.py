@@ -73,7 +73,8 @@ def build_pnp(cfg: DetConfig) -> EProPnP4DoF:
             init_solver=RSLMSolver(
                 dof=4, num_points=p.rs_num_points,
                 num_proposals=p.rs_num_proposals, num_iter=p.rs_num_iter,
-                use_pallas=p.use_pallas)))
+                use_pallas=p.use_pallas,
+                fast_sampling=p.use_pallas)))
 
 
 def avg_pool_stride(x, stride: int):

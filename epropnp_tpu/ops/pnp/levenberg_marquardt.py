@@ -396,8 +396,22 @@ class RSLMSolver(LMSolver):
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        if (self.use_pallas and self.fast_sampling
-                and camera.lb is None and camera.ub is None):
+        # the fused kernel covers bounded cameras only in the packed layout
+        # (regular num_points/n); bounded + irregular falls back to jnp.
+        # For very small problems (few objects x few proposals, e.g. the
+        # 6DoF training stack's 4-proposal init) the XLA path's per-step
+        # cost is lower than the kernel's fixed launch/packing overhead,
+        # so the fused path also requires bs*num_proposals >= 512
+        # (measured crossover on 1x v5e; the fused path additionally
+        # compiles ~16x faster, which the XLA Gumbel top-k path pays in
+        # a several-minute one-time trace).
+        has_bounds = camera.lb is not None and camera.ub is not None
+        packed_ok = (self.num_points <= 128
+                     and 128 % self.num_points == 0
+                     and x2d.shape[1] % 128 == 0)
+        big_enough = x2d.shape[0] * self.num_proposals >= 512
+        if (self.use_pallas and self.fast_sampling and big_enough
+                and packed_ok):
             # fully fused init kernel (sampling + proposal LM + scoring);
             # sampling is with-replacement inverse-CDF (see pallas_rslm)
             from .pallas_lm import camera_to_fxfycxcy
@@ -407,9 +421,20 @@ class RSLMSolver(LMSolver):
                 jnp.asarray(cost_fun.delta, x2d.dtype), (bs,))
             seeds = jax.random.randint(
                 rng, (bs,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            if has_bounds:
+                bshape = (bs, 2)
+                bounds = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.asarray(camera.lb, x2d.dtype), bshape),
+                     jnp.broadcast_to(
+                         jnp.asarray(camera.ub, x2d.dtype), bshape)],
+                    axis=-1)
+            else:
+                bounds = None
             pose, min_cost = rslm_init_pallas(
                 x3d, x2d, w2d, camera_to_fxfycxcy(camera.cam_mats), delta,
-                seeds, dof=self.dof, num_points=self.num_points,
+                seeds, bounds=bounds,
+                dof=self.dof, num_points=self.num_points,
                 num_proposals=self.num_proposals, num_iter=self.num_iter,
                 z_min=camera.z_min, eps=self.eps,
                 min_lm_diagonal=self.min_lm_diagonal,

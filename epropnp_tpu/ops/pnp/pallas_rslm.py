@@ -13,7 +13,9 @@ WITH replacement (inverse CDF) instead of multinomial without replacement —
 statistically near-identical for this init heuristic and documented at the
 call site.
 
-Scope matches ``pallas_lm``: zero-skew pinhole, no projection bounds.
+Scope matches ``pallas_lm``: zero-skew pinhole; projection bounds are
+supported in the packed layout (the training-time border clamps of
+camera.py:76-103), bounds-free in the legacy layout.
 
 Two kernel layouts:
 
@@ -230,7 +232,8 @@ def _make_kernel(dof, num_points, num_proposals, num_iter, n_full, z_min,
 def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
                         z_min, eps, min_lm_diagonal, max_lm_diagonal,
                         min_relative_decrease, initial_trust_region_radius,
-                        max_trust_region_radius, obj_pack):
+                        max_trust_region_radius, obj_pack,
+                        with_bounds=False):
     pose_dim = 4 if dof == 4 else 7
     p = num_proposals
     k = num_points
@@ -245,15 +248,23 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
         chunk_p -= 1
     n_chunks = p // chunk_p
 
-    def kernel(seed_ref, x3d_ref, x2d_ref, w2d_ref, cam_ref, delta_ref,
-               cb_ref, cbl_ref, csum_ref, lo_ref, rows_ref,
-               pose_out_ref, cost_out_ref):
+    def kernel(*refs):
         # x3d_ref: (3, m, n); x2d/w2d_ref: (2, m, n); cam_ref: (m, 4);
-        # delta_ref: (m, 1); cb/cbl_ref: (m, 128) per-object block cdf
+        # delta_ref: (m, 1); [bounds_ref: (m, 4) lb_u, lb_v, ub_u, ub_v;]
+        # cb/cbl_ref: (m, 128) per-object block cdf
         # bounds; csum/lo_ref: (1, 128, m*s) inclusive/exclusive cdf values
         # regrouped per lane-block; rows_ref: (1, 128, m*s*8) channel
         # values [x,y,z,u,v,wu,wv,0] in the same layout;
         # outs: (m, 1, pose_dim), (m, 1, 1)
+        refs = list(refs)
+        seed_ref, x3d_ref, x2d_ref, w2d_ref, cam_ref, delta_ref = refs[:6]
+        idx = 6
+        bounds_ref = None
+        if with_bounds:
+            bounds_ref = refs[idx]
+            idx += 1
+        (cb_ref, cbl_ref, csum_ref, lo_ref, rows_ref,
+         pose_out_ref, cost_out_ref) = refs[idx:idx + 7]
         x_f = x3d_ref[0]                                 # (m, n)
         y_f = x3d_ref[1]
         z_f = x3d_ref[2]
@@ -315,6 +326,10 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
                            preferred_element_type=jnp.float32)
 
         fx_l, fy_l, cx_l, cy_l, d_l = map(lane_vec, (fx, fy, cx, cy, delta))
+        bounds_l = None
+        if with_bounds:
+            bounds_l = tuple(lane_vec(bounds_ref[:, i:i + 1])
+                             for i in range(4))          # each (1, lanes)
 
         # ---- weighted inverse-CDF sampling, batched over ALL m objects ----
         # Two-level search: coarse interval test over the 128 lane-blocks,
@@ -439,6 +454,12 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
             zc = jnp.maximum(zc_raw, z_min)
             u = (fx_l * xc + cx_l * zc_raw) / zc
             v = (fy_l * yc + cy_l * zc_raw) / zc
+            if with_bounds:
+                lb_u, lb_v, ub_u, ub_v = bounds_l
+                in_u = jnp.logical_and(u > lb_u, u < ub_u).astype(u.dtype)
+                in_v = jnp.logical_and(v > lb_v, v < ub_v).astype(v.dtype)
+                u = jnp.clip(u, lb_u, ub_u)
+                v = jnp.clip(v, lb_v, ub_v)
             ru = (u - u_s) * wu_s
             rv = (v - v_s) * wv_s
             ss = ru * ru + rv * rv
@@ -448,10 +469,12 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
             rho = jnp.sqrt(jnp.minimum(d_l / jnp.maximum(s_sqrt, 1e-10),
                                        1.0))
             live = (zc_raw >= z_min).astype(u.dtype)
-            du0 = fx_l / zc * live
-            du2 = (cx_l - u) / zc * live
-            dv1 = fy_l / zc * live
-            dv2 = (cy_l - v) / zc * live
+            live_u = live * in_u if with_bounds else live
+            live_v = live * in_v if with_bounds else live
+            du0 = fx_l / zc * live_u
+            du2 = (cx_l - u) / zc * live_u
+            dv1 = fy_l / zc * live_v
+            dv2 = (cy_l - v) / zc * live_v
             swu = wu_s * rho
             swv = wv_s * rho
             if dof == 4:
@@ -550,12 +573,18 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
                             preferred_element_type=jnp.float32)  # (p, 4)
             d_o = jnp.dot(ones_p1, delta_ref[o:o + 1],
                           preferred_element_type=jnp.float32)    # (p, 1)
+            bounds_o = None
+            if with_bounds:
+                b_p = jnp.dot(ones_p1, bounds_ref[o:o + 1],
+                              preferred_element_type=jnp.float32)  # (p, 4)
+                bounds_o = tuple(b_p[:, i:i + 1] for i in range(4))
             cost_full, _, _ = _evaluate(
                 pose_o, big(x3d_ref[0, o:o + 1]), big(x3d_ref[1, o:o + 1]),
                 big(x3d_ref[2, o:o + 1]), big(x2d_ref[0, o:o + 1]),
                 big(x2d_ref[1, o:o + 1]), big(w2d_ref[0, o:o + 1]),
                 big(w2d_ref[1, o:o + 1]), cam_p[:, 0:1], cam_p[:, 1:2],
-                cam_p[:, 2:3], cam_p[:, 3:4], d_o, dof, z_min, eps)
+                cam_p[:, 2:3], cam_p[:, 3:4], d_o, dof, z_min, eps,
+                bounds=bounds_o)
             cmin = jnp.min(cost_full, axis=0)[None]          # (1, 1)
             is_best = (cost_full <= cmin).astype(jnp.float32)
             is_best = is_best / jnp.sum(is_best, axis=0)[None]
@@ -571,7 +600,7 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
                       num_points, num_proposals, num_iter, obj_pack, z_min,
                       eps, min_lm_diagonal, max_lm_diagonal,
                       min_relative_decrease, initial_trust_region_radius,
-                      max_trust_region_radius):
+                      max_trust_region_radius, bounds=None):
     b, n, _ = x3d.shape
     m = obj_pack
     pose_dim = 4 if dof == 4 else 7
@@ -586,6 +615,9 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
             jnp.asarray([1.0, 1.0, 0.0, 0.0]))
         delta = pad(delta).at[b:].set(1.0)
         seeds = pad(seeds)
+        if bounds is not None:
+            bounds = pad(bounds).at[b:].set(
+                jnp.asarray([-1e30, -1e30, 1e30, 1e30], bounds.dtype))
     bp = b + pad_b
     nt = bp // m
     s_blk = n // 128
@@ -615,7 +647,8 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
     kernel = _make_packed_kernel(
         dof, num_points, num_proposals, num_iter, n, z_min, eps,
         min_lm_diagonal, max_lm_diagonal, min_relative_decrease,
-        initial_trust_region_radius, max_trust_region_radius, m)
+        initial_trust_region_radius, max_trust_region_radius, m,
+        with_bounds=bounds is not None)
     x3d_t = jnp.moveaxis(x3d, -1, 0)   # (3, B, n)
     x2d_t = jnp.moveaxis(x2d, -1, 0)
     w2d_t = jnp.moveaxis(w2d, -1, 0)
@@ -631,6 +664,8 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
             bspec((2, m, n), lambda i, s: (0, i, 0)),
             bspec((m, 4), lambda i, s: (i, 0)),
             bspec((m, 1), lambda i, s: (i, 0)),
+        ] + ([bspec((m, 4), lambda i, s: (i, 0))] if bounds is not None
+             else []) + [
             bspec((m, 128), lambda i, s: (i, 0)),
             bspec((m, 128), lambda i, s: (i, 0)),
             bspec((1, 128, m * s_blk), lambda i, s: (i, 0, 0)),
@@ -654,6 +689,7 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
             # scoped-vmem budget; v5e has 128 MB of physical VMEM
             vmem_limit_bytes=64 * 1024 * 1024),
     )(seeds, x3d_t, x2d_t, w2d_t, cam_fxfycxcy, delta2,
+      *([] if bounds is None else [bounds]),
       cb, cbl, csum_cat, lo_cat, rows_cat)
     return pose[:b, 0], cost[:b, 0, 0]
 
@@ -665,6 +701,7 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
                               'initial_trust_region_radius',
                               'max_trust_region_radius', 'tile_obj'))
 def rslm_init_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds,
+                     bounds=None,
                      dof: int = 6, num_points: int = 16,
                      num_proposals: int = 64, num_iter: int = 3,
                      tile_obj: int = 4,
@@ -679,6 +716,8 @@ def rslm_init_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds,
 
     Args:
         seeds: (B,) int32 per-object PRNG seeds.
+        bounds: None or (B, 4) [lb_u, lb_v, ub_u, ub_v] projection bounds
+            (packed layout only; the legacy layout is bounds-free).
     """
     if (num_points <= 128 and 128 % num_points == 0
             and x3d.shape[1] % 128 == 0):
@@ -686,7 +725,9 @@ def rslm_init_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds,
             x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof, num_points,
             num_proposals, num_iter, 128 // num_points, z_min, eps,
             min_lm_diagonal, max_lm_diagonal, min_relative_decrease,
-            initial_trust_region_radius, max_trust_region_radius)
+            initial_trust_region_radius, max_trust_region_radius,
+            bounds=bounds)
+    assert bounds is None, 'projection bounds need the packed kernel layout'
     b, n, _ = x3d.shape
     assert b % tile_obj == 0, (b, tile_obj)
     pose_dim = 4 if dof == 4 else 7

@@ -51,7 +51,8 @@ def build_epropnp(cfg: SixDoFConfig) -> EProPnP6DoF:
                 num_points=p.rs_num_points,
                 num_proposals=p.rs_num_proposals,
                 num_iter=p.rs_num_iter,
-                use_pallas=p.use_pallas)))
+                use_pallas=p.use_pallas,
+                fast_sampling=p.use_pallas)))
 
 
 class TrainState(struct.PyTreeNode):

@@ -14,7 +14,8 @@ if jax.devices()[0].platform == 'cpu':
     pytest.skip('fused RSLM kernel needs the TPU PRNG', allow_module_level=True)
 
 
-def test_fused_init_quality_matches_jnp():
+@pytest.mark.parametrize('bounded', [False, True])
+def test_fused_init_quality_matches_jnp(bounded):
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -24,7 +25,14 @@ def test_fused_init_quality_matches_jnp():
 
     prob = bm.make_problem()
     x3d, x2d, w2d, cam, _ = (jnp.asarray(a) for a in prob)
-    camera = PerspectiveCamera(cam_mats=cam)
+    if bounded:
+        # crop-style projection bounds around the observed x2d
+        # (camera.py border clamps; exercises the with_bounds kernel)
+        lb = jnp.min(x2d, axis=(0, 1)) - 20.0
+        ub = jnp.max(x2d, axis=(0, 1)) + 20.0
+        camera = PerspectiveCamera(cam_mats=cam, lb=lb, ub=ub)
+    else:
+        camera = PerspectiveCamera(cam_mats=cam)
     cost_fun = AdaptiveHuberPnPCost(relative_delta=0.1).set_param(x2d, w2d)
 
     rs_fused = RSLMSolver(dof=6, num_points=16, num_proposals=64,
