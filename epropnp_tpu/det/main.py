@@ -32,25 +32,31 @@ def init_state(cfg: DetConfig, model, tx, img_hw, rng=None):
 
 def make_sharded_step(step_fn, n_devices: Optional[int] = None):
     from jax import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = jax.devices()[:n_devices] if n_devices else jax.devices()
     mesh = Mesh(np.array(devices), ('data',))
     batch_spec = dtrain.DetBatch(
         *([P('data')] * len(dtrain.DetBatch._fields)))
-    return jax.jit(shard_map(
+    step = jax.jit(shard_map(
         step_fn, mesh=mesh,
         in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False))
+    return step, NamedSharding(mesh, P('data'))
 
 
 def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
                save_dir: str, img_hw=(896, 1600),
                resume_from: Optional[str] = None,
                data_parallel: bool = False, log_interval: int = 50,
-               seed: int = 0):
-    """``batch_iter_factory(epoch) -> iterator of DetBatch``."""
+               seed: int = 0, prefetch: int = 2):
+    """``batch_iter_factory(epoch) -> iterator of DetBatch``.
+
+    ``prefetch`` > 0 advances the factory's iterator on a background
+    thread and keeps that many batches on device ahead of the step
+    (parallel/prefetch.py); 0 iterates synchronously.
+    """
     logger = get_logger('epropnp_tpu.det', save_dir)
     model = build_detector(cfg)
     tx = dtrain.make_optimizer(cfg)
@@ -60,12 +66,22 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
         logger.info('resumed from %s', resume_from)
     step_fn = dtrain.make_train_step(
         model, cfg, tx, axis_name='data' if data_parallel else None)
-    step = make_sharded_step(step_fn) if data_parallel else jax.jit(step_fn)
+    if data_parallel:
+        step, batch_sharding = make_sharded_step(step_fn)
+    else:
+        step, batch_sharding = jax.jit(step_fn), None
 
     rng = jax.random.PRNGKey(seed + 1)
     for epoch in range(cfg.train.epochs):
         t0 = time.time()
-        for i, batch in enumerate(batch_iter_factory(epoch)):
+        batches = batch_iter_factory(epoch)
+        if prefetch > 0:
+            from ..parallel.prefetch import (BackgroundIterator,
+                                             prefetch_to_device)
+            batches = prefetch_to_device(
+                BackgroundIterator(batches, maxsize=prefetch + 1),
+                depth=prefetch, sharding=batch_sharding)
+        for i, batch in enumerate(batches):
             rng, k = jax.random.split(rng)
             state, losses = step(state, batch, k)
             if i % log_interval == 0:

@@ -4,4 +4,9 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from .prefetch import (  # noqa: F401
+    BackgroundIterator,
+    PrefetchLoader,
+    prefetch_to_device,
+)
 from .sampler import HostShardSampler  # noqa: F401

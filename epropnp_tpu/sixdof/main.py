@@ -50,27 +50,37 @@ def init_state(cfg: SixDoFConfig, model, tx, rng=None):
 
 
 def make_sharded_step(step_fn, n_devices: Optional[int] = None):
-    """Wrap the train step in a data-parallel shard_map over all devices."""
+    """Wrap the train step in a data-parallel shard_map over all devices.
+
+    Returns ``(jitted_step, batch_sharding)`` — the sharding places host
+    batches split along the leading axis for the prefetcher.
+    """
     from jax import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = jax.devices()[:n_devices] if n_devices else jax.devices()
     mesh = Mesh(np.array(devices), ('data',))
     batch_spec = train_lib.Batch(*([P('data')] * len(train_lib.Batch._fields)))
-    return jax.jit(shard_map(
+    step = jax.jit(shard_map(
         step_fn, mesh=mesh,
         in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False))
+    return step, NamedSharding(mesh, P('data'))
 
 
 def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
                resume_from: Optional[str] = None,
                data_parallel: bool = False, log_interval: int = 20,
-               test_interval: int = 5, seed: int = 0):
+               test_interval: int = 5, seed: int = 0,
+               prefetch: int = 2):
     """Epoch loop over a ``LineMODDataset`` (or any Batch iterator factory).
 
     ``dataset.batches(batch_size, shuffle, seed)`` must yield Batch tuples.
+    ``prefetch`` > 0 runs the host pipeline on a background thread and
+    keeps that many batches resident on device ahead of the step
+    (DataLoader-worker equivalent, see parallel/prefetch.py); 0 iterates
+    synchronously.
     """
     logger = get_logger('epropnp_tpu.6dof', save_dir)
     n_batches = max(len(dataset) // cfg.train.train_batch_size, 1)
@@ -86,15 +96,24 @@ def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
         state = load_checkpoint(resume_from, state)
         logger.info('resumed full state from %s', resume_from)
 
-    step = make_sharded_step(step_fn) if data_parallel else jax.jit(step_fn)
+    if data_parallel:
+        step, batch_sharding = make_sharded_step(step_fn)
+    else:
+        step, batch_sharding = jax.jit(step_fn), None
     rng = jax.random.PRNGKey(seed + 1)
 
     for epoch in range(cfg.train.begin_epoch, cfg.train.end_epoch):
         meters = {}
         t0 = time.time()
-        for i, batch in enumerate(
-                dataset.batches(cfg.train.train_batch_size, shuffle=True,
-                                seed=seed + epoch)):
+        batches = dataset.batches(cfg.train.train_batch_size, shuffle=True,
+                                  seed=seed + epoch)
+        if prefetch > 0:
+            from ..parallel.prefetch import (BackgroundIterator,
+                                             prefetch_to_device)
+            batches = prefetch_to_device(
+                BackgroundIterator(batches, maxsize=prefetch + 1),
+                depth=prefetch, sharding=batch_sharding)
+        for i, batch in enumerate(batches):
             rng, k = jax.random.split(rng)
             state, metrics = step(state, batch, k)
             if i % log_interval == 0:

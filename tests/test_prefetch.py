@@ -1,0 +1,136 @@
+"""Async host pipeline + device prefetch (parallel/prefetch.py).
+
+The reference's DataLoader-worker/pinned-async-copy equivalent
+(EPro-PnP-6DoF/tools/main.py:82-88): ordering, exception propagation,
+bounded lookahead, sharded placement, and the driver integration.
+"""
+
+import threading
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from epropnp_tpu.parallel import (
+    BackgroundIterator, HostShardSampler, PrefetchLoader, make_mesh,
+    prefetch_to_device)
+
+
+def _batch(i):
+    return {'x': np.full((8, 3), i, np.float32), 'i': np.int32(i)}
+
+
+def test_prefetch_loader_order_and_values():
+    loader = PrefetchLoader(_batch, num_workers=3, prefetch_depth=2)
+    out = list(loader(range(17)))
+    assert len(out) == 17
+    for i, b in enumerate(out):
+        assert int(b['i']) == i
+        assert isinstance(b['x'], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b['x']), i)
+
+
+def test_prefetch_loader_inline_mode():
+    out = list(PrefetchLoader(_batch, num_workers=0)(range(5)))
+    assert [int(b['i']) for b in out] == list(range(5))
+
+
+def test_prefetch_loader_exception_propagates():
+    def bad(i):
+        if i == 3:
+            raise ValueError('boom')
+        return _batch(i)
+
+    loader = PrefetchLoader(bad, num_workers=2, prefetch_depth=1)
+    it = loader(range(6))
+    got = []
+    with pytest.raises(ValueError, match='boom'):
+        for b in it:
+            got.append(int(b['i']))
+    assert got == [0, 1, 2]
+
+
+def test_prefetch_loader_overlaps_producer():
+    """With 2 workers, 8 x 30 ms of host work takes ~4 ticks, not 8."""
+    def slow(i):
+        time.sleep(0.03)
+        return _batch(i)
+
+    t0 = time.monotonic()
+    list(PrefetchLoader(slow, num_workers=2, prefetch_depth=2)(range(8)))
+    elapsed = time.monotonic() - t0
+    # serial would be >= 0.24 s; allow generous slack on the 1-core host
+    assert elapsed < 0.22, elapsed
+
+
+def test_prefetch_loader_bounded_lookahead():
+    """Never more than num_workers + depth items consumed from source."""
+    pulled = []
+
+    def source():
+        for i in range(100):
+            pulled.append(i)
+            yield i
+
+    loader = PrefetchLoader(_batch, num_workers=1, prefetch_depth=1)
+    it = loader(source())
+    next(it)
+    # allow the pool to drain whatever was submitted
+    time.sleep(0.1)
+    assert len(pulled) <= 1 + 1 + 1 + 1  # yielded + in flight + margin
+
+
+def test_prefetch_sharded_placement():
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P('data'))
+    loader = PrefetchLoader(_batch, num_workers=2, sharding=sharding)
+    out = list(loader(range(3)))
+    for b in out:
+        assert b['x'].sharding.is_equivalent_to(sharding, b['x'].ndim)
+
+
+def test_prefetch_to_device_passthrough():
+    out = list(prefetch_to_device(({'x': np.ones(4) * i} for i in range(6)),
+                                  depth=2))
+    assert len(out) == 6
+    assert all(isinstance(b['x'], jax.Array) for b in out)
+    np.testing.assert_array_equal(np.asarray(out[5]['x']), 5.0)
+
+
+def test_background_iterator_order_and_thread():
+    main = threading.get_ident()
+    seen_threads = set()
+
+    def gen():
+        for i in range(10):
+            seen_threads.add(threading.get_ident())
+            yield i
+
+    assert list(BackgroundIterator(gen(), maxsize=3)) == list(range(10))
+    assert main not in seen_threads
+
+
+def test_background_iterator_exception():
+    def gen():
+        yield 1
+        raise RuntimeError('producer died')
+
+    it = BackgroundIterator(gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match='producer died'):
+        for _ in it:
+            pass
+
+
+def test_composes_with_host_shard_sampler():
+    sampler = HostShardSampler(num_samples=40, num_hosts=2, host_id=0,
+                               seed=3)
+    loader = PrefetchLoader(
+        lambda idx: {'idx': np.asarray(idx)}, num_workers=2)
+    batches = list(loader(sampler.epoch_batches(0, 4)))
+    assert len(batches) == 5  # 20 per host / 4
+    all_idx = np.concatenate([np.asarray(b['idx']) for b in batches])
+    assert len(np.unique(all_idx)) == 20
