@@ -369,6 +369,13 @@ class RSLMSolver(LMSolver):
     # near-identical for the RANSAC init heuristic. Measured SLOWER than
     # Gumbel top-k on TPU (searchsorted lowering); may help on CPU.
     fast_sampling: bool = False
+    # Fused-kernel only: rank proposals on a strided subsample of this
+    # many points (multiple of 128) instead of the full set; proposal
+    # scoring dominates the fused init at large N. When the caller asks
+    # for the init cost (with_cost=True), the winner is re-evaluated on
+    # the FULL set so downstream cost comparisons stay exact. None =
+    # full-set ranking.
+    score_points: Optional[int] = 128
 
     def center_based_init(self, x2d, x3d, camera, eps: float = 1e-6):
         """Translation init matching 2D/3D point spread (reference :283-298)."""
@@ -441,7 +448,17 @@ class RSLMSolver(LMSolver):
                 max_lm_diagonal=self.max_lm_diagonal,
                 min_relative_decrease=self.min_relative_decrease,
                 initial_trust_region_radius=self.initial_trust_region_radius,
-                max_trust_region_radius=self.max_trust_region_radius)
+                max_trust_region_radius=self.max_trust_region_radius,
+                score_points=self.score_points)
+            subsampled = (self.score_points is not None
+                          and self.score_points < x2d.shape[1])
+            if kwargs.get('with_cost') and subsampled:
+                # the kernel ranked on a subsample; callers compare this
+                # cost against full-set costs (solve :146-153), so
+                # re-evaluate the winner on the full set
+                min_cost = evaluate_pnp(
+                    x3d, x2d, w2d, pose, camera, cost_fun,
+                    out_cost=True).cost
             return pose, None, min_cost
         bs, pn, _ = x2d.shape
         p = self.num_proposals
