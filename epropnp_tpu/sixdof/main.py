@@ -8,6 +8,7 @@ parallelism is a 1-D device mesh with a shard_map'd train step.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Optional
@@ -73,7 +74,7 @@ def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
                resume_from: Optional[str] = None,
                data_parallel: bool = False, log_interval: int = 20,
                test_interval: int = 5, seed: int = 0,
-               prefetch: int = 2):
+               prefetch: int = 2, ckpt_interval: int = 1):
     """Epoch loop over a ``LineMODDataset`` (or any Batch iterator factory).
 
     ``dataset.batches(batch_size, shuffle, seed)`` must yield Batch tuples.
@@ -126,10 +127,14 @@ def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
                     ' '.join(f'{n}={mt.val:.4f}'
                              for n, mt in meters.items()),
                     time.time() - t0)
-        ckpt = os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack')
-        save_checkpoint(ckpt, state)
-        save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
-        logger.info('epoch %d done, checkpoint -> %s', epoch, ckpt)
+        if (epoch + 1) % ckpt_interval == 0 \
+                or epoch + 1 == cfg.train.end_epoch:
+            ckpt = os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack')
+            save_checkpoint(ckpt, state)
+            save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
+            logger.info('epoch %d done, checkpoint -> %s', epoch, ckpt)
+        else:
+            logger.info('epoch %d done', epoch)
     return state
 
 
@@ -160,9 +165,13 @@ def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
     refine_fn = test_lib.make_refine_fn(cfg, cam)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
+    # variables as an ARGUMENT: closed-over weights would be baked into
+    # the compiled program as constants (~45 MB of HLO for a ResNet),
+    # which bloats compiles and overflows the remote-compile transport
     @jax.jit
-    def forward(inp):
+    def forward(variables, inp):
         return model.apply(variables, inp, train=False)
+    forward = functools.partial(forward, variables)
 
     extents = {c: dataset.min_extents(c) for c in dataset.classes}
     n = len(dataset)

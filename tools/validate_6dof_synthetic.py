@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""End-to-end 6DoF suite validation on synthetic LineMOD-format data.
+
+Drives the FULL production stack on the default JAX device (the real TPU
+chip when attached): synthetic cuboid scene generation to disk ->
+``LineMODDataset`` (DZI crops, coord targets) -> ``train_loop`` (CDPN +
+AMIS Monte Carlo PnP training, prefetching loader, checkpointing) ->
+``test_loop`` (EPnP init + GN refinement inference) -> ADD / n-deg n-cm
+metrics. The counterpart of the reference's LineMOD benchmark run
+(EPro-PnP-6DoF/tools/main.py), self-contained because the image has no
+real dataset.
+
+Usage:
+    python tools/validate_6dof_synthetic.py \
+        [--root /tmp/lm_synth] [--frames 160] [--epochs 12] [--bs 16]
+
+Prints one JSON line with pre/post-training ADD accuracies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class DeviceResidentDataset:
+    """Preprocess every sample once, keep the whole set on device.
+
+    The host DZI pipeline + tunnel H2D dominate wall time (~10 s/batch on
+    the 1-core VM), so for long synthetic runs the crops are fixed per
+    frame and epochs reshuffle with a device-side gather. Implements the
+    ``len`` / ``batches`` protocol ``train_loop`` consumes.
+    """
+
+    def __init__(self, dataset, cls):
+        import jax
+        import jax.numpy as jnp
+        from epropnp_tpu.sixdof.dataset import collate
+        extents = {cls: dataset.min_extents(cls)}
+        samples = [dataset[i] for i in range(len(dataset))]
+        self._n = len(samples)
+        self._batch = jax.tree_util.tree_map(
+            jnp.asarray, collate(samples, extents))
+
+    def __len__(self):
+        return self._n
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+        import jax
+        import numpy as np
+        order = np.arange(self._n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in range(0, self._n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            yield jax.tree_util.tree_map(lambda a: a[idx], self._batch)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--root', default='/tmp/lm_synth')
+    p.add_argument('--frames', type=int, default=160)
+    p.add_argument('--test-frames', type=int, default=40)
+    p.add_argument('--epochs', type=int, default=100)
+    p.add_argument('--bs', type=int, default=16)
+    p.add_argument('--depth', type=int, default=18)
+    p.add_argument('--inp-res', type=int, default=256)
+    p.add_argument('--use-pallas', action='store_true')
+    p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--save-dir', default='/tmp/lm_synth_run')
+    p.add_argument('--live-pipeline', action='store_true',
+                   help='run the host DZI pipeline every epoch (reference '
+                        'behavior; ~100 s/epoch on the 1-core host). '
+                        'Default: preprocess once, keep the set '
+                        'device-resident, reshuffle on device (~1 s/epoch).')
+    args = p.parse_args()
+
+    import dataclasses
+    import jax
+    from epropnp_tpu.sixdof import main as main_lib
+    from epropnp_tpu.sixdof import synthetic
+    from epropnp_tpu.sixdof.config import (
+        DataIterConfig, NetworkConfig, PnPConfig, SixDoFConfig, TrainConfig)
+    from epropnp_tpu.sixdof.dataset import LineMODDataset
+
+    cls = 'ape'
+    t0 = time.time()
+    marker = os.path.join(args.root, f'.done_{args.frames}_{args.test_frames}')
+    info = synthetic.generate_dataset(
+        args.root, cls=cls, n_train=args.frames, n_test=args.test_frames) \
+        if not os.path.isfile(marker) else None
+    if info is None:
+        ext = (0.038, 0.039, 0.046)
+        info = {cls: dict(min_x=-ext[0], min_y=-ext[1], min_z=-ext[2],
+                          size_x=2 * ext[0], size_y=2 * ext[1],
+                          size_z=2 * ext[2],
+                          diameter=float(2 * np.linalg.norm(ext)))}
+    else:
+        open(marker, 'w').close()
+    print(f'# dataset ready in {time.time() - t0:.1f}s', flush=True)
+
+    cfg = SixDoFConfig(
+        exp_id='synthetic_e2e',
+        dataiter=DataIterConfig(inp_res=args.inp_res,
+                                out_res=args.inp_res // 4),
+        network=NetworkConfig(back_layers_num=args.depth),
+        pnp=PnPConfig(use_pallas=args.use_pallas),
+        train=TrainConfig(train_batch_size=args.bs, begin_epoch=0,
+                          end_epoch=args.epochs,
+                          lr_backbone=args.lr, lr_rot_head=args.lr,
+                          lr_trans_head=args.lr,
+                          lr_epoch_step=(int(args.epochs * 0.6),
+                                         int(args.epochs * 0.85))))
+
+    train_ds = LineMODDataset(cfg, args.root, split='train', classes=[cls],
+                              model_info=info)
+    test_ds = LineMODDataset(cfg, args.root, split='test', classes=[cls],
+                             model_info=info)
+    assert len(train_ds) == args.frames and len(test_ds) == args.test_frames
+
+    if not args.live_pipeline:
+        train_ds = DeviceResidentDataset(train_ds, cls)
+
+    ext = np.array([abs(info[cls]['min_x']), abs(info[cls]['min_y']),
+                    abs(info[cls]['min_z'])], np.float32)
+    models = {cls: synthetic.cuboid_surface(ext, 16)}
+    diameters = {cls: info[cls]['diameter']}
+
+    # untrained baseline (random coords -> ADD should be ~0)
+    model, _, tx, _ = main_lib.build_all(cfg)
+    state0 = main_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    t0 = time.time()
+    pre = main_lib.test_loop(cfg, test_ds, state0, models, diameters,
+                             init='epnp', batch_size=args.bs)
+    print(f'# untrained eval in {time.time() - t0:.1f}s', flush=True)
+
+    t0 = time.time()
+    state = main_lib.train_loop(cfg, train_ds, args.save_dir, seed=0,
+                                ckpt_interval=max(1, args.epochs // 4))
+    train_s = time.time() - t0
+    print(f'# training done in {train_s:.1f}s', flush=True)
+
+    t0 = time.time()
+    post = main_lib.test_loop(cfg, test_ds, state, models, diameters,
+                              init='epnp', batch_size=args.bs)
+    print(f'# trained eval in {time.time() - t0:.1f}s', flush=True)
+
+    def add_acc(res):
+        return {k: float(v) for k, v in res['add'][cls].items()}
+
+    out = dict(cls=cls, frames=args.frames, epochs=args.epochs,
+               train_seconds=round(train_s, 1),
+               add_untrained=add_acc(pre), add_trained=add_acc(post))
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
