@@ -50,12 +50,14 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
                save_dir: str, img_hw=(896, 1600),
                resume_from: Optional[str] = None,
                data_parallel: bool = False, log_interval: int = 50,
-               seed: int = 0, prefetch: int = 2):
+               seed: int = 0, prefetch: int = 2, ckpt_interval: int = 1):
     """``batch_iter_factory(epoch) -> iterator of DetBatch``.
 
     ``prefetch`` > 0 advances the factory's iterator on a background
     thread and keeps that many batches on device ahead of the step
-    (parallel/prefetch.py); 0 iterates synchronously.
+    (parallel/prefetch.py); 0 iterates synchronously. ``ckpt_interval``
+    saves every N epochs (+ the final one) — serializing the state is
+    expensive on thin hosts.
     """
     logger = get_logger('epropnp_tpu.det', save_dir)
     model = build_detector(cfg)
@@ -91,9 +93,12 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
                     for k, v in sorted(m.items()))
                 logger.info('epoch %d iter %d/%d: %s (%.1fs)', epoch, i,
                             steps_per_epoch, msg, time.time() - t0)
-        save_checkpoint(
-            os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack'), state)
-        save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
+        if (epoch + 1) % ckpt_interval == 0 \
+                or epoch + 1 == cfg.train.epochs:
+            save_checkpoint(
+                os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack'),
+                state)
+            save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
         logger.info('epoch %d done', epoch)
     return state
 

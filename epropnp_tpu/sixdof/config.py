@@ -49,6 +49,15 @@ class TrainConfig:
     momentum: float = 0.0
     alpha: float = 0.99
     epsilon: float = 1e-8
+    # None = reference behavior (no clipping, NaN-skip only); a float
+    # enables optax.clip_by_global_norm — see train.make_optimizer.
+    clip_grad_norm: Optional[float] = None
+    # Cap on the learned correspondence-weight scale (the reference's
+    # exp() scale branch is unbounded — resnet_rot_head.py:78 — which
+    # can run away on easy data: cost ~ scale^2 x residual^2 overflows,
+    # gradients hit inf, and the NaN-skip then freezes training
+    # permanently). None = reference behavior.
+    w2d_scale_max: Optional[float] = None
     weight_decay: float = 0.0
 
 

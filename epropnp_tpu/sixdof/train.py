@@ -96,11 +96,19 @@ def make_optimizer(cfg: SixDoFConfig, steps_per_epoch: int = 1):
                     'trans_head': 'trans_head'}.get(k, 'rot_head')
                 for k in params}
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {'backbone': branch(t.lr_backbone),
          'rot_head': branch(t.lr_rot_head),
          'trans_head': branch(t.lr_trans_head)},
         label_fn)
+    if t.clip_grad_norm is not None:
+        # The reference 6DoF recipe only SKIPS steps whose grad norm is
+        # NaN (lib/train.py:232-243); huge-but-finite Monte Carlo loss
+        # spikes (the learned weight scale is unbounded) pass through and
+        # can poison training late. Global-norm clipping — the Det
+        # suite's OptimizerHookMod behavior — is offered as an opt-in.
+        tx = optax.chain(optax.clip_by_global_norm(t.clip_grad_norm), tx)
+    return tx
 
 
 class Batch(NamedTuple):
@@ -203,8 +211,12 @@ def compute_losses(model: CDPN, epropnp: EProPnP6DoF, cfg: SixDoFConfig,
             k, n_dense, (cfg.dataiter.sample_points,), replace=False)
     )(jax.random.split(k_sample, bs))
 
+    scale = outs.scale
+    if cfg.train.w2d_scale_max is not None:
+        # soft cap keeps the gradient alive (see config.w2d_scale_max)
+        scale = jnp.minimum(scale, cfg.train.w2d_scale_max)
     x3d, x2d, w2d, camera = build_correspondences(
-        outs.noc, outs.w2d, outs.scale, batch, cam_intrinsic, out_res,
+        outs.noc, outs.w2d, scale, batch, cam_intrinsic, out_res,
         sample_inds)
     pose_gt = pose_gt_from_batch(batch)
 
@@ -218,7 +230,7 @@ def compute_losses(model: CDPN, epropnp: EProPnP6DoF, cfg: SixDoFConfig,
     # Monte Carlo loss (lib/train.py:182-183); norm_factor = mean scale
     loss_mc, new_mc_state = monte_carlo_pose_loss(
         pose_sample_logweights, cost_tgt,
-        jnp.mean(jax.lax.stop_gradient(outs.scale)), mc_state,
+        jnp.mean(jax.lax.stop_gradient(scale)), mc_state,
         momentum=0.01, training=True, axis_name=axis_name)
 
     # derivative regularization (lib/train.py:185-193)

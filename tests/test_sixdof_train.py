@@ -133,3 +133,24 @@ def test_out_res_mismatch_raises_clear_error():
     cam = jnp.eye(3)
     with pytest.raises(AssertionError, match='out_res'):
         build_correspondences(noc, w2d, scale, batch, cam, out_res=64)
+
+
+def test_optimizer_grad_clipping_bounds_spikes():
+    """clip_grad_norm keeps a huge-but-finite MC-loss spike from
+    poisoning the RMSprop second-moment state (config.py clip_grad_norm)."""
+    import optax
+    base = tiny_cfg()
+    cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, clip_grad_norm=1.0))
+    tx = train_lib.make_optimizer(cfg)
+    params = {'backbone': jnp.ones(4), 'rot_head': jnp.ones(4),
+              'trans_head': jnp.ones(4)}
+    st = tx.init(params)
+    huge = jax.tree_util.tree_map(lambda a: a * 1e8, params)
+    upd, st2 = tx.update(huge, st, params)
+    assert all(np.isfinite(np.asarray(u)).all()
+               for u in jax.tree_util.tree_leaves(upd))
+    # a second, normal-sized gradient still produces a sane update
+    small = jax.tree_util.tree_map(lambda a: a * 1e-3, params)
+    upd2, _ = tx.update(small, st2, params)
+    assert float(optax.global_norm(upd2)) > 1e-8

@@ -115,7 +115,8 @@ def main():
         train=TrainConfig(train_batch_size=args.bs, begin_epoch=0,
                           end_epoch=args.epochs,
                           lr_backbone=args.lr, lr_rot_head=args.lr,
-                          lr_trans_head=args.lr,
+                          lr_trans_head=args.lr, clip_grad_norm=10.0,
+                          w2d_scale_max=50.0,
                           lr_epoch_step=(int(args.epochs * 0.6),
                                          int(args.epochs * 0.85))))
 
