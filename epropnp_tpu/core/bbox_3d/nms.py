@@ -20,17 +20,35 @@ from .rotate_iou import rotated_iou_matrix
 
 def _greedy_suppress(iou_sorted: jnp.ndarray, valid_sorted: jnp.ndarray,
                      thresh: float) -> jnp.ndarray:
-    """Greedy NMS on a score-sorted IoU matrix -> keep mask (sorted order)."""
+    """Greedy NMS on a score-sorted IoU matrix -> keep mask (sorted order).
+
+    Exact greedy semantics (``keep[i] = valid[i] and no kept j < i overlaps
+    i``) computed as a fixpoint iteration instead of n sequential steps:
+    each pass is one (n,)x(n, n) mask-matvec on the MXU, and entries whose
+    suppression-chain depth is <= k are permanently correct after k passes,
+    so the loop converges in max-chain-depth iterations (typically < 10 for
+    detection workloads) with an n-pass safety bound. The reached fixed
+    point is the unique solution of the well-founded recursion, i.e.
+    identical to the sequential greedy scan.
+    """
     n = iou_sorted.shape[0]
+    idx = jnp.arange(n)
+    # sup[j, i]: higher-scored j suppresses i when kept
+    sup = ((iou_sorted > thresh) & (idx[None, :] > idx[:, None])).astype(
+        jnp.float32)
 
-    def body(i, keep):
-        # if i is still alive, kill all later boxes overlapping it
-        alive = keep[i]
-        kill = (iou_sorted[i] > thresh) & (jnp.arange(n) > i) & alive
-        return keep & ~kill
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it < n)
 
-    keep0 = valid_sorted
-    return jax.lax.fori_loop(0, n, body, keep0)
+    def body(carry):
+        keep, _, it = carry
+        killed = (keep.astype(jnp.float32) @ sup) > 0.5
+        return valid_sorted & ~killed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid_sorted, ~valid_sorted, 0))
+    return keep
 
 
 def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray, thresh: float,

@@ -136,6 +136,28 @@ def test_nms_rotated_suppresses_overlaps():
     np.testing.assert_array_equal(keep, [False, True, True])
 
 
+def test_greedy_suppress_matches_sequential_greedy():
+    """Fixpoint NMS == the sequential greedy scan on random IoU matrices."""
+    from epropnp_tpu.core.bbox_3d.nms import _greedy_suppress
+
+    r = np.random.default_rng(0)
+    for _ in range(8):
+        n = int(r.integers(1, 96))
+        iou = r.random((n, n)).astype(np.float32)
+        iou = (iou + iou.T) / 2
+        np.fill_diagonal(iou, 1.0)
+        valid = r.random(n) > 0.2
+        thresh = float(r.uniform(0.2, 0.8))
+        keep = valid.copy()
+        for i in range(n):
+            if keep[i]:
+                keep[i + 1:] &= ~(iou[i, i + 1:] > thresh)
+        keep &= valid
+        got = np.asarray(
+            _greedy_suppress(jnp.asarray(iou), jnp.asarray(valid), thresh))
+        np.testing.assert_array_equal(got, keep)
+
+
 def test_nms_axis_aligned_matches_torch():
     import pytest
     torch = pytest.importorskip('torchvision.ops', reason='torchvision')

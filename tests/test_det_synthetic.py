@@ -1,0 +1,54 @@
+"""Geometric sanity of the synthetic Det-scene generator.
+
+The generator feeds tools/validate_det_synthetic.py (the Det suite's
+self-contained end-to-end fixture); these checks pin its ground-truth
+conventions: bbox_3d = [l, h, w, x, y, z, ry] (camera frame, yaw about
+Y — core/bbox_3d/misc.py), projections consistent with cam_k, and NOC
+appearance encoding.
+"""
+
+import numpy as np
+
+from epropnp_tpu.det.synthetic import SyntheticDetSceneGenerator, _yaw_rot
+
+
+def test_scene_geometry_consistent():
+    gen = SyntheticDetSceneGenerator(im_hw=(96, 160), max_gt=4,
+                                     lidar_points=8, noise_std=0.0)
+    rng = np.random.default_rng(0)
+    h, w = gen.im_hw
+    n_valid = 0
+    for _ in range(4):
+        s = gen.sample_scene(rng)
+        assert s.img.shape == (h, w, 3)
+        assert s.img.min() >= 0.0 and s.img.max() <= 1.0
+        for g in np.flatnonzero(s.gt_mask):
+            n_valid += 1
+            dims, t, yaw = s.gt_bboxes_3d[g, :3], s.gt_bboxes_3d[g, 3:6], \
+                s.gt_bboxes_3d[g, 6]
+            assert t[2] > 0
+            # gt point projections replay through K @ (R x + t)
+            cam = s.gt_x3d[g] @ _yaw_rot(float(yaw)).T + t[None]
+            uvw = cam @ gen.cam_k.T
+            uv = uvw[:, :2] / uvw[:, 2:]
+            np.testing.assert_allclose(uv, s.gt_x2d[g], atol=1e-3)
+            # object-frame points live inside the box
+            assert (np.abs(s.gt_x3d[g]) <= dims[None] / 2 + 1e-4).all()
+            # 2D box is inside canvas and non-degenerate
+            x1, y1, x2, y2 = s.gt_bboxes[g]
+            assert 0 <= x1 < x2 <= w - 1 + 1e-3
+            assert 0 <= y1 < y2 <= h - 1 + 1e-3
+    assert n_valid >= 4
+
+
+def test_batch_stacking_shapes():
+    gen = SyntheticDetSceneGenerator(im_hw=(64, 96), max_gt=3,
+                                     lidar_points=4)
+    rng = np.random.default_rng(1)
+    b = gen.sample_batch(rng, 3)
+    assert b.img.shape == (3, 64, 96, 3)
+    assert b.gt_bboxes_3d.shape == (3, 3, 7)
+    assert b.gt_x3d.shape == (3, 3, 4, 3)
+    assert gen.dense_x2d(2).shape == (2, 64, 96, 2)
+    # dense map is pixel centers
+    assert gen.dense_x2d(1)[0, 0, 0].tolist() == [0.5, 0.5]

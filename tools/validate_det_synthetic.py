@@ -1,0 +1,237 @@
+"""End-to-end Det-suite validation on synthetic multi-object scenes.
+
+Trains the FULL Det stack (backbone + FPN + FCOSEmbHead + deformable
+attention + correspondence transformer + AMIS Monte Carlo pose loss +
+all auxiliary losses) from scratch on synthetic NOC-colored cuboid
+scenes (``epropnp_tpu/det/synthetic.py``), then runs the jitted
+inference pipeline (FCOS top-k -> subheads -> fast-mode PnP -> 2D+BEV
+NMS) on HELD-OUT scenes and scores detections against ground truth with
+the exact rotated-IoU kernel. The Det counterpart of
+``tools/validate_6dof_synthetic.py`` — the reference has no equivalent
+self-contained check (its QA is the nuScenes benchmark; SURVEY.md §4).
+
+Reported metrics (nuScenes-style true-positive metrics at a BEV IoU
+match threshold): recall, precision, mATE (m), mASE (1 - dim IoU),
+mAOE (rad).
+
+Usage:
+  python tools/validate_det_synthetic.py [--steps 600] [--bs 4]
+      [--eval-scenes 16] [--eval-every 100] [--seed 0] [--pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epropnp_tpu.core.bbox_3d.rotate_iou import rotated_iou_matrix
+from epropnp_tpu.det import train as dtrain
+from epropnp_tpu.det.config import DetConfig, DetPnPConfig, DetTrainConfig
+from epropnp_tpu.det.synthetic import SyntheticDetSceneGenerator
+from epropnp_tpu.det.test import make_inference_fn, results_to_numpy
+from epropnp_tpu.models.detectors.epropnp_det import EProPnPDet
+
+IM_HW = (128, 224)
+NCLS = 3
+GMAX = 4
+PTS = 16
+
+
+def small_cfg(use_pallas: bool = False) -> DetConfig:
+    """A reduced-but-real Det config sized for fast synthetic convergence."""
+    return DetConfig(
+        num_classes=NCLS, backbone_depth=18, embed_dims=64, num_heads=4,
+        num_points=8, strides=(4, 8, 16, 32), output_stride=4,
+        with_loss_regr=True, num_attrs=2,
+        pnp=DetPnPConfig(mc_samples=64, num_iter=4, lm_num_iter=4,
+                         rs_num_points=8, rs_num_proposals=16, rs_num_iter=2,
+                         use_pallas=use_pallas),
+        train=DetTrainConfig(num_obj_samples_per_img=8, roi_shape=(12, 12),
+                             max_gt_per_img=GMAX, lr=3e-4))
+
+
+def build_model(cfg: DetConfig) -> EProPnPDet:
+    return EProPnPDet(
+        num_classes=cfg.num_classes, backbone_depth=cfg.backbone_depth,
+        backbone_dcn_stages=(), embed_dims=cfg.embed_dims,
+        num_heads=cfg.num_heads, num_points=cfg.num_points,
+        strides=cfg.strides, output_stride=cfg.output_stride,
+        num_attrs=cfg.num_attrs, dcn_on_last_conv=False,
+        detector_cfg=dict(
+            feat_channels=64, emb_channels=cfg.embed_dims, cls_branch=(64,),
+            centerness_branch=(32,), offset_branch=(64,), emb_branch=(64,),
+            regress_ranges=((-1, 24), (24, 48), (48, 96), (96, 1e8))))
+
+
+def scenes_to_batch(gen: SyntheticDetSceneGenerator, stacked) -> dtrain.DetBatch:
+    n = stacked.img.shape[0]
+    h, w = gen.im_hw
+    return dtrain.DetBatch(
+        img=jnp.asarray(stacked.img),
+        cam_intrinsic=jnp.asarray(np.tile(gen.cam_k, (n, 1, 1))),
+        img_shapes=jnp.asarray(np.tile([float(h), float(w)], (n, 1)),
+                               jnp.float32),
+        ori_shapes=jnp.asarray(np.tile([float(h), float(w)], (n, 1)),
+                               jnp.float32),
+        img_flips=jnp.zeros((n,), bool),
+        img_dense_x2d=jnp.asarray(gen.dense_x2d(n), jnp.float32),
+        img_dense_x2d_mask=jnp.ones((n, h, w, 1), jnp.float32),
+        gt_bboxes=jnp.asarray(stacked.gt_bboxes),
+        gt_bboxes_3d=jnp.asarray(stacked.gt_bboxes_3d),
+        gt_labels=jnp.asarray(stacked.gt_labels),
+        gt_mask=jnp.asarray(stacked.gt_mask),
+        gt_velo=jnp.asarray(stacked.gt_velo),
+        gt_attr=jnp.asarray(stacked.gt_attr),
+        gt_x3d=jnp.asarray(stacked.gt_x3d),
+        gt_x2d=jnp.asarray(stacked.gt_x2d),
+        gt_pts_mask=jnp.asarray(stacked.gt_pts_mask),
+    )
+
+
+def evaluate(results_3d, gt_scenes, iou_thr: float = 0.25,
+             score_thr: float = 0.1):
+    """Greedy per-class BEV-IoU matching -> TP metrics.
+
+    ``results_3d[img][cls]`` rows are [l, h, w, x, y, z, ry, score, ...].
+    """
+    n_gt = n_det = n_tp = 0
+    ate, ase, aoe = [], [], []
+    for i in range(gt_scenes.img.shape[0]):
+        for c in range(NCLS):
+            gsel = gt_scenes.gt_mask[i] & (gt_scenes.gt_labels[i] == c)
+            gt = gt_scenes.gt_bboxes_3d[i][gsel]            # (g, 7)
+            det = results_3d[i][c]
+            det = det[det[:, 7] >= score_thr] if det.size else det
+            n_gt += len(gt)
+            n_det += len(det)
+            if not len(gt) or not len(det):
+                continue
+            det = det[np.argsort(-det[:, 7])]
+            # BEV boxes [cx, cz, l, w, ry]
+            gt_bev = np.stack([gt[:, 3], gt[:, 5], gt[:, 0], gt[:, 2],
+                               gt[:, 6]], -1)
+            dt_bev = np.stack([det[:, 3], det[:, 5], det[:, 0], det[:, 2],
+                               det[:, 6]], -1)
+            iou = np.asarray(rotated_iou_matrix(
+                jnp.asarray(dt_bev, jnp.float32),
+                jnp.asarray(gt_bev, jnp.float32)))
+            taken = np.zeros(len(gt), bool)
+            for d in range(len(det)):
+                j = int(np.argmax(np.where(taken, -1.0, iou[d])))
+                if iou[d, j] >= iou_thr and not taken[j]:
+                    taken[j] = True
+                    n_tp += 1
+                    ate.append(float(np.linalg.norm(
+                        det[d, 3:6] - gt[j, 3:6])))
+                    mn = np.minimum(det[d, :3], gt[j, :3])
+                    mx = np.maximum(det[d, :3], gt[j, :3])
+                    ase.append(1.0 - float(np.prod(mn) / np.prod(mx)))
+                    dyaw = abs(det[d, 6] - gt[j, 6]) % (2 * np.pi)
+                    aoe.append(float(min(dyaw, 2 * np.pi - dyaw)))
+    return dict(
+        recall=n_tp / max(n_gt, 1), precision=n_tp / max(n_det, 1),
+        n_gt=n_gt, n_det=n_det, n_tp=n_tp,
+        mate=float(np.mean(ate)) if ate else float('nan'),
+        mase=float(np.mean(ase)) if ase else float('nan'),
+        maoe=float(np.mean(aoe)) if aoe else float('nan'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=600)
+    ap.add_argument('--bs', type=int, default=4)
+    ap.add_argument('--pool', type=int, default=64,
+                    help='device-resident scene-pool size (batches)')
+    ap.add_argument('--eval-scenes', type=int, default=16)
+    ap.add_argument('--eval-every', type=int, default=100)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--iou-thr', type=float, default=0.25)
+    ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--json-out', type=str, default='')
+    args = ap.parse_args()
+
+    cfg = small_cfg(args.pallas)
+    model = build_model(cfg)
+    gen = SyntheticDetSceneGenerator(im_hw=IM_HW, num_classes=NCLS,
+                                     max_gt=GMAX, lidar_points=PTS)
+    rng_np = np.random.default_rng(args.seed)
+
+    print(f'devices={jax.devices()}')
+    t0 = time.time()
+    # device-resident training pool (regenerated scenes would bottleneck on
+    # the host; the pool is large enough that the model cannot memorize it
+    # before convergence) + a held-out eval set from a disjoint stream
+    pool = [scenes_to_batch(gen, gen.sample_batch(rng_np, args.bs))
+            for _ in range(args.pool)]
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    eval_scenes = gen.sample_batch(eval_rng, args.eval_scenes)
+    eval_batch = scenes_to_batch(gen, eval_scenes)
+    print(f'scene generation: {time.time() - t0:.1f}s '
+          f'({args.pool}x{args.bs} train + {args.eval_scenes} eval)')
+
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           pool[0].img[:1], IM_HW)
+    tx = dtrain.make_optimizer(cfg)
+    state = dtrain.DetTrainState.create(variables, tx)
+    step = jax.jit(dtrain.make_train_step(model, cfg, tx))
+    infer = jax.jit(make_inference_fn(model, cfg, max_obj_per_img=64,
+                                      min_fcos_score=0.04))
+
+    def run_eval(state):
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        res = infer(variables, eval_batch.img, eval_batch.cam_intrinsic,
+                    eval_batch.img_shapes, eval_batch.ori_shapes,
+                    eval_batch.img_flips, eval_batch.img_dense_x2d,
+                    eval_batch.img_dense_x2d_mask,
+                    jax.random.PRNGKey(123))
+        _, res3d = results_to_numpy(res, args.eval_scenes, NCLS)
+        return evaluate(res3d, eval_scenes, iou_thr=args.iou_thr)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    best = None
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, losses = step(state, pool[i % args.pool], sub)
+        if i == 0:
+            jax.block_until_ready(losses)
+            print(f'first step (incl. compile): {time.time() - t0:.1f}s')
+            t0, t_base = time.time(), 1
+        if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+            l = jax.device_get(losses)
+            m = run_eval(state)
+            print(f'step {i + 1:5d}  loss_cls={float(l["loss_cls"]):.3f} '
+                  f'loss_pose_0={float(l["loss_pose_0"]):.3f} '
+                  f'ate={float(l["ate"]):.2f} | eval '
+                  f'recall={m["recall"]:.3f} prec={m["precision"]:.3f} '
+                  f'mATE={m["mate"]:.3f} mASE={m["mase"]:.3f} '
+                  f'mAOE={m["maoe"]:.3f}', flush=True)
+            score = m['recall'] * max(m['precision'], 1e-6)
+            if best is None or score > best[0]:
+                best = (score, i + 1, m)
+    dt = time.time() - t0
+    steps_timed = args.steps - t_base
+    print(f'train: {dt:.1f}s for {steps_timed} steps '
+          f'({dt / max(steps_timed, 1) * 1e3:.1f} ms/step)')
+    _, best_step, m = best
+    print(f'BEST @ step {best_step}: recall={m["recall"]:.3f} '
+          f'precision={m["precision"]:.3f} mATE={m["mate"]:.3f} '
+          f'mASE={m["mase"]:.3f} mAOE={m["maoe"]:.3f} '
+          f'({m["n_tp"]}/{m["n_gt"]} GT matched @ IoU {args.iou_thr})')
+    if args.json_out:
+        with open(args.json_out, 'w') as f:
+            json.dump({'best_step': best_step, **m}, f)
+
+
+if __name__ == '__main__':
+    main()
