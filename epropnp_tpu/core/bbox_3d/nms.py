@@ -2,9 +2,10 @@
 
 The reference suppresses with a 64-thread bitmask CUDA kernel
 (iou3d_kernel.cu:284-379). TPU-native: precompute the all-pairs IoU matrix
-in score order (one big vectorized batch), then run the sequential
-greedy suppression as a ``fori_loop`` over a keep mask — O(n) tiny steps
-on a precomputed matrix, fully jittable with static shapes.
+in score order (one big vectorized batch), then resolve the greedy keep
+mask by a mask-matvec fixpoint iteration (``_greedy_suppress``) — a few
+MXU passes instead of n sequential steps, fully jittable with static
+shapes.
 
 All functions return a boolean keep mask aligned with the input order
 (callers topk/argwhere outside jit or keep fixed-size outputs).

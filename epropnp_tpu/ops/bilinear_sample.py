@@ -14,6 +14,7 @@ callers pass ``x_img / stride - 0.5``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -49,6 +50,89 @@ def bilinear_sample(feat: jnp.ndarray, coords: jnp.ndarray,
     wy = wy[..., None]
     return ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
             + (v10 * (1 - wx) + v11 * wx) * wy)
+
+
+def pack_patches(feat: jnp.ndarray) -> jnp.ndarray:
+    """Precompute 2x2 patch rows for ``bilinear_sample_packed``.
+
+    Returns (h+2, w+2, 4c) where row (yi, xi) holds
+    ``[F[yi-1, xi-1], F[yi-1, xi], F[yi, xi-1], F[yi, xi]]`` (zero padded
+    one pixel above/left and two below/right) — i.e. patch base ``yi``
+    addresses integer corner ``y0 = yi - 1``.
+    """
+    h, w, c = feat.shape
+    fp = jnp.pad(feat, ((1, 2), (1, 2), (0, 0)))
+    return jnp.concatenate(
+        [fp[:-1, :-1], fp[:-1, 1:], fp[1:, :-1], fp[1:, 1:]], axis=-1)
+
+
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather tuned for TPU: bf16 rows are reinterpreted as f32 (half
+    the lanes) because XLA's bf16 gather path is ~2x slower per byte."""
+    if table.dtype == jnp.bfloat16 and table.shape[-1] % 2 == 0:
+        t32 = jax.lax.bitcast_convert_type(
+            table.reshape(table.shape[0], -1, 2), jnp.float32)
+        out = t32[idx]
+        return jax.lax.bitcast_convert_type(out, jnp.bfloat16).reshape(
+            idx.shape + (table.shape[-1],))
+    return table[idx]
+
+
+def bilinear_sample_packed(feat: jnp.ndarray, coords: jnp.ndarray,
+                           padding_mode: str = 'border') -> jnp.ndarray:
+    """Semantically identical to :func:`bilinear_sample`, restructured for
+    TPU gather throughput: ONE wide row (the 2x2 corner patch, 4c) is
+    gathered per sampling location instead of four c-rows, and corner
+    validity is folded into the four bilinear weights. XLA's gather
+    throughput is bound by an implementation ceiling (~115 GB/s for >=1KB
+    rows, ~half that for the 4-corner advanced-indexing form), so halving
+    the passes over the sampled bytes roughly doubles DCN sampling speed
+    (tools/bench_gather.py).
+
+    Callers that sample the same map many times should hoist
+    ``pack_patches(feat)`` and use :func:`bilinear_sample_prepacked`.
+    """
+    return bilinear_sample_prepacked(pack_patches(feat), feat.shape[:2],
+                                     coords, padding_mode)
+
+
+def bilinear_sample_prepacked(packed: jnp.ndarray, feat_hw,
+                              coords: jnp.ndarray,
+                              padding_mode: str = 'border') -> jnp.ndarray:
+    """Sample from ``pack_patches`` output. See bilinear_sample_packed."""
+    h, w = feat_hw
+    c4 = packed.shape[-1]
+    c = c4 // 4
+    x, y = coords[..., 0], coords[..., 1]
+    if padding_mode == 'border':
+        x = jnp.clip(x, 0, w - 1)
+        y = jnp.clip(y, 0, h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+    if padding_mode == 'zeros':
+        # fold corner validity into the weights; the patch row content at
+        # the clamped base is then irrelevant wherever the weight is zero
+        x_in0 = (x0 >= 0) & (x0 <= w - 1)
+        x_in1 = (x0 >= -1) & (x0 <= w - 2)
+        y_in0 = (y0 >= 0) & (y0 <= h - 1)
+        y_in1 = (y0 >= -1) & (y0 <= h - 2)
+        w00 = jnp.where(y_in0 & x_in0, w00, 0)
+        w01 = jnp.where(y_in0 & x_in1, w01, 0)
+        w10 = jnp.where(y_in1 & x_in0, w10, 0)
+        w11 = jnp.where(y_in1 & x_in1, w11, 0)
+    yb = jnp.clip(y0, -1, h).astype(jnp.int32) + 1
+    xb = jnp.clip(x0, -1, w).astype(jnp.int32) + 1
+    flat = (yb * (w + 2) + xb).reshape(-1)
+    rows = _gather_rows(packed.reshape(-1, c4), flat)
+    rows = rows.reshape(coords.shape[:-1] + (4, c))
+    wts = jnp.stack([w00, w01, w10, w11], axis=-1).astype(rows.dtype)
+    return jnp.einsum('...kc,...k->...c', rows, wts)
 
 
 def batched_bilinear_sample(feats: jnp.ndarray, img_inds: jnp.ndarray,

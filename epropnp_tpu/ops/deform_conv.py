@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .bilinear_sample import bilinear_sample
+from .bilinear_sample import bilinear_sample_packed
 
 
 class DeformConv(nn.Module):
@@ -56,7 +56,7 @@ class DeformConv(nn.Module):
         coords = grid[None, :, :, None, :] + base + offsets  # (n,h,w,taps,2)
 
         sampled = jax.vmap(
-            lambda feat, crd: bilinear_sample(feat, crd, 'zeros')
+            lambda feat, crd: bilinear_sample_packed(feat, crd, 'zeros')
         )(x, coords)  # (n, h, w, taps, c_in)
         sampled = sampled * mod[..., None]
 

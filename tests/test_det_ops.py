@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from epropnp_tpu.ops.bilinear_sample import (
-    batched_bilinear_sample, bilinear_sample)
+    batched_bilinear_sample, bilinear_sample, bilinear_sample_packed)
 from epropnp_tpu.ops.group_linear import GroupLinear
 from epropnp_tpu.ops.positional_encoding import dense_posenc, points_to_enc
 from epropnp_tpu.ops.inter_roi_ops import logsumexp_across_rois
@@ -34,6 +34,36 @@ def test_bilinear_sample_matches_torch_grid_sample():
         ref = F.grid_sample(inp, grid, mode='bilinear', padding_mode=padding,
                             align_corners=False)[0, :, :, 0].T.numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_bilinear_sample_packed_matches_reference_impl():
+    """Patch-row gather formulation == 4-corner formulation, everywhere."""
+    r = np.random.default_rng(2)
+    h, w, c = 11, 19, 6
+    feat = r.normal(size=(h, w, c)).astype(np.float32)
+    # dense coverage: interior, exact corners/edges, just-outside, far-out
+    pts = np.concatenate([
+        r.uniform(-3, 25, (200, 2)),
+        np.array([[0, 0], [w - 1, h - 1], [-1, -1], [w, h],
+                  [-0.5, 3.2], [w - 0.5, h - 0.5], [3.0, 7.0],
+                  [-20, 5], [5, 40]], np.float64),
+    ]).astype(np.float32)
+    for padding in ('border', 'zeros'):
+        want = np.asarray(bilinear_sample(
+            jnp.asarray(feat), jnp.asarray(pts), padding))
+        got = np.asarray(bilinear_sample_packed(
+            jnp.asarray(feat), jnp.asarray(pts), padding))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # extra leading dims (the DCN taps axis) + bf16 bitcast gather path
+    crd = jnp.asarray(r.uniform(-2, 22, (5, 7, 9, 2)), jnp.float32)
+    want = np.asarray(bilinear_sample(jnp.asarray(feat), crd, 'zeros'))
+    got = np.asarray(bilinear_sample_packed(jnp.asarray(feat), crd, 'zeros'))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    fb = jnp.asarray(feat, jnp.bfloat16)
+    want = np.asarray(bilinear_sample(fb, crd, 'zeros').astype(jnp.float32))
+    got = np.asarray(
+        bilinear_sample_packed(fb, crd, 'zeros').astype(jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-2)
 
 
 def test_batched_bilinear_sample_indexes_correct_image():

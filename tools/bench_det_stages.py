@@ -40,13 +40,27 @@ from epropnp_tpu.det.train import avg_pool_stride
 from epropnp_tpu.ops.pnp import AdaptiveHuberPnPCost, PerspectiveCamera
 
 
+@jax.jit
+def _probe(x):
+    return sum(jnp.ravel(leaf)[0].astype(jnp.float32)
+               for leaf in jax.tree_util.tree_leaves(x))
+
+
+def _sync(out):
+    """Force completion of the dispatch chain. ``block_until_ready`` does
+    not reliably block through the device tunnel; instead dispatch a tiny
+    scalar probe (executes after all queued work on the device stream) and
+    device_get its 4 bytes."""
+    np.asarray(_probe(out))
+
+
 def timed(fn, args, iters, name):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f'{name:>12}: {dt * 1e3:8.2f} ms')
     return out, dt
@@ -63,13 +77,14 @@ def main():
     ap.add_argument('--pallas', action='store_true')
     args = ap.parse_args()
 
+    import dataclasses
     cfg = DetConfig.v1b()
     if args.pallas:
-        cfg = cfg.replace(pnp=cfg.pnp.replace(use_pallas=True))
-    overrides = {}
+        cfg = dataclasses.replace(
+            cfg, pnp=dataclasses.replace(cfg.pnp, use_pallas=True))
     if args.bf16:
-        overrides['backbone_dtype'] = jnp.bfloat16
-    model = build_detector(cfg, **overrides)
+        cfg = dataclasses.replace(cfg, bf16_backbone=True)
+    model = build_detector(cfg)
 
     h, w, bs = args.height, args.width, args.bs
     r = np.random.default_rng(0)
