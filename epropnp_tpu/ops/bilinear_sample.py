@@ -61,21 +61,15 @@ def pack_patches(feat: jnp.ndarray) -> jnp.ndarray:
     addresses integer corner ``y0 = yi - 1``.
     """
     h, w, c = feat.shape
+    # tables stay in the feature dtype: isolated benchmarks say bf16
+    # gathers run at half the f32 byte rate, but upcasting the table to
+    # f32 (and a bf16->f32 bitcast view, which forces a physical
+    # retiling from (16,128) bf16 tiles to (8,128) f32) both measured
+    # neutral-to-slower end-to-end — XLA overlaps gather latency with
+    # adjacent compute in the full graph.
     fp = jnp.pad(feat, ((1, 2), (1, 2), (0, 0)))
     return jnp.concatenate(
         [fp[:-1, :-1], fp[:-1, 1:], fp[1:, :-1], fp[1:, 1:]], axis=-1)
-
-
-def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather tuned for TPU: bf16 rows are reinterpreted as f32 (half
-    the lanes) because XLA's bf16 gather path is ~2x slower per byte."""
-    if table.dtype == jnp.bfloat16 and table.shape[-1] % 2 == 0:
-        t32 = jax.lax.bitcast_convert_type(
-            table.reshape(table.shape[0], -1, 2), jnp.float32)
-        out = t32[idx]
-        return jax.lax.bitcast_convert_type(out, jnp.bfloat16).reshape(
-            idx.shape + (table.shape[-1],))
-    return table[idx]
 
 
 def bilinear_sample_packed(feat: jnp.ndarray, coords: jnp.ndarray,
@@ -93,12 +87,14 @@ def bilinear_sample_packed(feat: jnp.ndarray, coords: jnp.ndarray,
     ``pack_patches(feat)`` and use :func:`bilinear_sample_prepacked`.
     """
     return bilinear_sample_prepacked(pack_patches(feat), feat.shape[:2],
-                                     coords, padding_mode)
+                                     coords, padding_mode,
+                                     out_dtype=feat.dtype)
 
 
 def bilinear_sample_prepacked(packed: jnp.ndarray, feat_hw,
                               coords: jnp.ndarray,
-                              padding_mode: str = 'border') -> jnp.ndarray:
+                              padding_mode: str = 'border',
+                              out_dtype=None) -> jnp.ndarray:
     """Sample from ``pack_patches`` output. See bilinear_sample_packed."""
     h, w = feat_hw
     c4 = packed.shape[-1]
@@ -129,10 +125,11 @@ def bilinear_sample_prepacked(packed: jnp.ndarray, feat_hw,
     yb = jnp.clip(y0, -1, h).astype(jnp.int32) + 1
     xb = jnp.clip(x0, -1, w).astype(jnp.int32) + 1
     flat = (yb * (w + 2) + xb).reshape(-1)
-    rows = _gather_rows(packed.reshape(-1, c4), flat)
+    rows = packed.reshape(-1, c4)[flat]
     rows = rows.reshape(coords.shape[:-1] + (4, c))
     wts = jnp.stack([w00, w01, w10, w11], axis=-1).astype(rows.dtype)
-    return jnp.einsum('...kc,...k->...c', rows, wts)
+    out = jnp.einsum('...kc,...k->...c', rows, wts)
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def batched_bilinear_sample(feats: jnp.ndarray, img_inds: jnp.ndarray,
