@@ -96,6 +96,44 @@ def test_visualizers_smoke():
     assert so3.shape == (256, 512, 3)
 
 
+def test_show_result_views(tmp_path):
+    cv2 = pytest.importorskip('cv2')
+    from epropnp_tpu.visualization import show_result
+    img = np.zeros((240, 320, 3), np.uint8)
+    K = np.array([[300., 0, 160], [0, 300., 120], [0, 0, 1]])
+    # two classes: class 0 has two detections, class 1 empty
+    b3d = [np.array([[2., 1.5, 1., 0., 0.5, 8., 0.4, 0.9],
+                     [1., 1., 1., -2., 0.5, 12., -0.8, 0.1]]),
+           np.zeros((0, 8))]
+    b2d = [np.array([[60., 40., 200., 180., 0.9],
+                     [10., 10., 40., 40., 0.1]]), np.zeros((0, 5))]
+    extras = dict(
+        pose_samples=[np.random.default_rng(0).normal(
+            [0, 0.5, 8, 0], 0.3, (64, 4)) for _ in range(2)],
+        score=np.random.default_rng(1).random((240, 320)) * 0.2,
+        x2d=np.random.default_rng(2).uniform(0, 200, (64, 2)),
+        w2d=np.random.default_rng(3).random((64, 2)),
+        orient_logprob=[np.log(np.ones((2, 32)) / 32), np.zeros((0, 32))],
+        num_heads=8)
+    out_file = str(tmp_path / 'res.jpg')
+    rendered = show_result(
+        img, b2d, b3d, K, score_thr=0.3,
+        views=('2d', '3d', 'bev', 'score', 'pts', 'orient'),
+        extras=extras, class_names=['car', 'truck'], out_file=out_file)
+    assert set(rendered) == {'2d', '3d', 'bev', 'score', 'pts'}
+    for name, im in rendered.items():
+        assert im.dtype == np.uint8 and im.ndim == 3, name
+    # low-score detection filtered: only one wireframe drawn
+    assert rendered['3d'].sum() > 0
+    assert (tmp_path / 'res_3d.jpg').exists()
+    assert (tmp_path / 'res_bev.png').exists()
+    # orient view writes per-detection density plots (score>=thr only)
+    orient_dir = tmp_path / 'res_orient'
+    assert orient_dir.is_dir()
+    assert (orient_dir / 'car_00.png').exists()
+    assert not (orient_dir / 'car_01.png').exists()
+
+
 def test_cbgs_wrapper_balances():
     from epropnp_tpu.det.main import CBGSWrapper
 
