@@ -54,6 +54,9 @@ class DetTrainConfig:
     grad_clip: float = 35.0
     epochs: int = 12
     batch_size: int = 12
+    # Annotation split: 'train' or 'trainval' (reference trainval configs
+    # pass both pickles as ann_file — coord_regr_trainval.py:206-207).
+    split: str = 'train'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,8 +93,24 @@ class DetConfig:
         return cls(with_loss_regr=True)
 
     @classmethod
+    def coord_regr_trainval(cls):
+        """epropnp_det_coord_regr_trainval: coord_regr trained on
+        train+val annotations (configs/epropnp_det_coord_regr_trainval.py
+        — identical model config; only ``ann_file`` gains the val split).
+        """
+        return cls(with_loss_regr=True,
+                   train=DetTrainConfig(split='trainval'))
+
+    @classmethod
+    def no_reproj(cls):
+        """epropnp_det_no_reproj ablation: auxiliary reprojection NLL off
+        (configs/epropnp_det_no_reproj.py:120 ``loss_proj=None``)."""
+        return cls(loss=DetLossWeights(proj=0.0))
+
+    @classmethod
     def v1b(cls):
-        """v1b_220411: strides from 8, N=8x16, mc 128, cls embeddings."""
+        """v1b_220411: strides from 8, N=8x16, mc 128, cls embeddings,
+        pose loss weight 0.5 (configs/epropnp_det_v1b_220411.py:119)."""
         return cls(
             strides=(8, 16, 32, 64, 128),
             output_stride=8,
@@ -100,4 +119,16 @@ class DetConfig:
             dim_cls_agnostic=False,
             offset_cls_agnostic=False,
             pnp=DetPnPConfig(mc_samples=128),
+            loss=DetLossWeights(pose=0.5),
+            train=DetTrainConfig(roi_shape=(14, 14)))
+
+    @classmethod
+    def v1b_220312(cls):
+        """v1b_220312: v1b geometry (strides from 8, N=8x16, RoI 14x14)
+        but mc 512, pose weight 0.15, and no class embeddings
+        (configs/epropnp_det_v1b_220312.py vs _220411 diff)."""
+        return cls(
+            strides=(8, 16, 32, 64, 128),
+            output_stride=8,
+            num_points=16,
             train=DetTrainConfig(roi_shape=(14, 14)))

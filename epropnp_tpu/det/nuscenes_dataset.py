@@ -260,7 +260,7 @@ class NuScenes3DDataset:
     nuscenes3d_dataset.py:60-225.
     """
 
-    def __init__(self, ann_file: str, img_prefix: str = '',
+    def __init__(self, ann_file, img_prefix: str = '',
                  trunc_ignore_thres: float = 0.8, min_box_size: float = 4.0,
                  min_visibility: int = 2, nms_thr: float = 0.25):
         self.img_prefix = img_prefix
@@ -268,8 +268,14 @@ class NuScenes3DDataset:
         self.min_box_size = min_box_size
         self.min_visibility = min_visibility
         self.nms_thr = nms_thr
-        with open(ann_file, 'rb') as f:
-            self.data_infos = pickle.load(f)
+        # one pickle or a list of pickles (the reference trainval configs
+        # pass [train, val] — coord_regr_trainval.py:206-207)
+        files = [ann_file] if isinstance(ann_file, (str, bytes)) \
+            else list(ann_file)
+        self.data_infos = []
+        for path in files:
+            with open(path, 'rb') as f:
+                self.data_infos.extend(pickle.load(f))
 
     def __len__(self):
         return len(self.data_infos)

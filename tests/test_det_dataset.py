@@ -82,6 +82,22 @@ def test_format_submission(tmp_path):
     assert len(e['rotation']) == 4 and len(e['size']) == 3
 
 
+def test_dataset_accepts_multiple_ann_files(tmp_path):
+    """trainval configs pass [train, val] pickles (reference
+    coord_regr_trainval.py:206-207)."""
+    import pickle
+    infos_a = [dict(token='a', annotations=[])]
+    infos_b = [dict(token='b', annotations=[]),
+               dict(token='c', annotations=[])]
+    pa, pb = tmp_path / 'a.pkl', tmp_path / 'b.pkl'
+    pa.write_bytes(pickle.dumps(infos_a))
+    pb.write_bytes(pickle.dumps(infos_b))
+    assert len(nus.NuScenes3DDataset(str(pa))) == 1
+    ds = nus.NuScenes3DDataset([str(pa), str(pb)])
+    assert len(ds) == 3
+    assert [i['token'] for i in ds.data_infos] == ['a', 'b', 'c']
+
+
 def test_pipeline_transforms_keep_coordinate_values():
     cv2 = pytest.importorskip('cv2')
     r = np.random.default_rng(0)

@@ -16,8 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--config', default='basic',
-                   choices=['basic', 'coord_regr', 'v1b'])
-    p.add_argument('--ann', required=True, help='converter pickle')
+                   choices=['basic', 'coord_regr', 'coord_regr_trainval',
+                            'no_reproj', 'v1b', 'v1b_220312'])
+    p.add_argument('--ann', required=True, nargs='+',
+                   help='converter pickle(s); pass train+val for trainval')
     p.add_argument('--data', default='', help='nuScenes dataroot')
     p.add_argument('--save', default='runs/det')
     p.add_argument('--resume-from', default=None)
