@@ -38,6 +38,7 @@ def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
         num_attrs=cfg.num_attrs,
         score_type=cfg.score_type,
         backbone_dtype=jnp.bfloat16 if cfg.bf16_backbone else None,
+        dense_dtype=jnp.bfloat16 if cfg.bf16_dense else None,
         **overrides)
 
 

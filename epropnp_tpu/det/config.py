@@ -78,6 +78,10 @@ class DetConfig:
     with_loss_regr: bool = False
     # Mixed precision: backbone + FPN in bfloat16, heads/PnP in float32.
     bf16_backbone: bool = False
+    # Serving mixed precision: run the head's dense stage (FCOS towers
+    # incl. their DCN last convs + dense key/value convs) in bfloat16;
+    # scores/centers/key/value are cast back to float32. Opt-in.
+    bf16_dense: bool = False
     pnp: DetPnPConfig = dataclasses.field(default_factory=DetPnPConfig)
     loss: DetLossWeights = dataclasses.field(default_factory=DetLossWeights)
     train: DetTrainConfig = dataclasses.field(default_factory=DetTrainConfig)

@@ -143,31 +143,36 @@ class DeformPnPHead(nn.Module):
     detector_cfg: Any = None       # dict of FCOSEmbHead overrides
     dcn_on_last_conv: bool = True
     dtype: Any = jnp.float32
+    # Serving mixed precision for the dense stage (FCOS towers + dense
+    # conv/upsample/key-value maps); outputs are cast back to ``dtype``.
+    dense_dtype: Any = None
 
     def setup(self):
+        ddt = self.dense_dtype or self.dtype
         det_kwargs = dict(num_classes=self.num_classes,
                           in_channels=self.in_channels,
                           strides=tuple(self.strides[self.det_lvl_range[0]:
                                                      self.det_lvl_range[1]]),
                           emb_channels=self.embed_dims,
                           dcn_on_last_conv=self.dcn_on_last_conv,
-                          dtype=self.dtype)
+                          dtype=self.dtype,
+                          dense_dtype=self.dense_dtype)
         if self.detector_cfg:
             det_kwargs.update(self.detector_cfg)
         self.detector = FCOSEmbHead(**det_kwargs)
 
         self.convs = [
-            nn.Conv(ch, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            nn.Conv(ch, (3, 3), padding=1, use_bias=False, dtype=ddt,
                     name=f'dense_conv{i}')
             for i, ch in enumerate(self.lvl_feat_channels)]
         self.conv_upsampled = nn.Conv(
-            self.dense_channels, (1, 1), dtype=self.dtype,
+            self.dense_channels, (1, 1), dtype=ddt,
             name='conv_upsampled')
-        self.conv_upsampled_gn = nn.GroupNorm(32, dtype=self.dtype,
+        self.conv_upsampled_gn = nn.GroupNorm(32, dtype=ddt,
                                               name='conv_upsampled_gn')
-        self.k_proj = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype,
+        self.k_proj = nn.Conv(self.embed_dims, (1, 1), dtype=ddt,
                               name='k_proj')
-        self.v_proj = nn.Conv(self.embed_dims, (1, 1), dtype=self.dtype,
+        self.v_proj = nn.Conv(self.embed_dims, (1, 1), dtype=ddt,
                               name='v_proj')
         self.query_scale = self.param('query_scale',
                                       nn.initializers.constant(0.1), ())
@@ -228,10 +233,11 @@ class DeformPnPHead(nn.Module):
         det_feats = mlvl_feats[self.det_lvl_range[0]:self.det_lvl_range[1]]
         det_outs = self.detector(det_feats)
 
+        ddt = self.dense_dtype or self.dtype
         dense_feats = []
         for lvl_feats in mlvl_feats[self.dense_lvl_range[0]:
                                     self.dense_lvl_range[1]]:
-            x = lvl_feats
+            x = lvl_feats.astype(ddt)
             for conv in self.convs:
                 x = nn.relu(conv(x))
             dense_feats.append(x)
@@ -250,7 +256,8 @@ class DeformPnPHead(nn.Module):
             posenc[None], concat.shape[:3] + (posenc.shape[-1],))
         key = self.k_proj(jnp.concatenate([concat, posenc], axis=-1))
         value = self.v_proj(concat)
-        return det_outs, key, value
+        return (det_outs, key.astype(self.dtype),
+                value.astype(self.dtype))
 
     # --------------------------------------------------- correspondences
 

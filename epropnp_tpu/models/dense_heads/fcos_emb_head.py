@@ -75,19 +75,26 @@ class FCOSEmbHead(nn.Module):
     offset_branch: Sequence[int] = (256,)
     emb_branch: Sequence[int] = (256,)
     dtype: Any = jnp.float32
+    # Serving mixed precision: run the conv towers (incl. the DCN last
+    # conv, whose patch-row gather is the det_dense bandwidth hot spot) in
+    # this dtype; tower outputs are cast back to ``dtype`` before the
+    # branch convs, so scores/centers/embeddings keep full precision.
+    # None = same dtype as everything else.
+    dense_dtype: Any = None
 
     def _tower(self, name):
+        ddt = self.dense_dtype or self.dtype
         convs = []
         for i in range(self.stacked_convs):
             if self.dcn_on_last_conv and i == self.stacked_convs - 1:
-                convs.append(DeformConv(self.feat_channels, dtype=self.dtype,
+                convs.append(DeformConv(self.feat_channels, dtype=ddt,
                                         name=f'{name}_dcn{i}'))
             else:
                 convs.append(nn.Conv(self.feat_channels, (3, 3), padding=1,
-                                     use_bias=False, dtype=self.dtype,
+                                     use_bias=False, dtype=ddt,
                                      name=f'{name}_conv{i}'))
             convs.append(nn.GroupNorm(_gn_groups(self.feat_channels),
-                                      dtype=self.dtype,
+                                      dtype=ddt,
                                       name=f'{name}_gn{i}'))
         return convs
 
@@ -131,10 +138,11 @@ class FCOSEmbHead(nn.Module):
         conv_emb_gn = nn.GroupNorm(_gn_groups(self.emb_channels),
                                    dtype=self.dtype, name='conv_emb_gn')
 
+        ddt = self.dense_dtype or self.dtype
         outs = []
         for lvl, (x, stride) in enumerate(zip(feats, self.strides)):
-            cls_feat = x
-            reg_feat = x
+            cls_feat = x.astype(ddt)
+            reg_feat = cls_feat
             for layer in cls_tower:
                 cls_feat = layer(cls_feat)
                 if isinstance(layer, nn.GroupNorm):
@@ -143,6 +151,8 @@ class FCOSEmbHead(nn.Module):
                 reg_feat = layer(reg_feat)
                 if isinstance(layer, nn.GroupNorm):
                     reg_feat = nn.relu(reg_feat)
+            cls_feat = cls_feat.astype(self.dtype)
+            reg_feat = reg_feat.astype(self.dtype)
 
             cls_score = conv_cls(self._apply_branch(cls_branch, cls_feat))
             centerness = conv_centerness(

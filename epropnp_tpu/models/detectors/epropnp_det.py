@@ -46,6 +46,10 @@ class EProPnPDet(nn.Module):
     # Mixed-precision recipe: backbone + FPN in bfloat16 (params stay
     # float32), heads in ``dtype``. None = same dtype everywhere.
     backbone_dtype: Any = None
+    # Serving mixed precision for the head's dense stage (FCOS towers +
+    # dense key/value convs) — the DCN patch-row gather there is the
+    # det_dense bandwidth hot spot. Outputs are cast back to ``dtype``.
+    dense_dtype: Any = None
 
     def setup(self):
         bdt = self.backbone_dtype or self.dtype
@@ -79,7 +83,8 @@ class EProPnPDet(nn.Module):
             detector_cfg=dict(
                 offset_cls_agnostic=self.offset_cls_agnostic,
                 **(self.detector_cfg or {})),
-            dtype=self.dtype)
+            dtype=self.dtype,
+            dense_dtype=self.dense_dtype)
 
     def extract_feat(self, img, train: bool = False):
         """images (n, h, w, 3) -> FPN pyramid (strides[0]..)."""

@@ -47,3 +47,27 @@ def test_det_bf16_backbone_finite():
     assert np.isfinite(np.asarray(value)).all()
     for lvl in jax.tree_util.tree_leaves(det_outs):
         assert np.isfinite(np.asarray(lvl)).all()
+
+
+def test_det_bf16_dense_matches_f32():
+    """dense_dtype=bf16 (FCOS towers + key/value convs in bf16): outputs
+    stay f32, share f32 params, and agree with the all-f32 forward at
+    bf16 tolerance."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_det_train import tiny_cfg, tiny_model, H, W
+
+    cfg = tiny_cfg()
+    m32 = tiny_model(cfg)
+    mbf = m32.clone(dense_dtype=jnp.bfloat16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, 3))
+    variables = m32.init(jax.random.PRNGKey(1), img, (H, W))
+    out32 = m32.apply(variables, img, (H, W), train=False)
+    outbf = mbf.apply(variables, img, (H, W), train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(out32),
+                    jax.tree_util.tree_leaves(outbf)):
+        assert b.dtype == a.dtype  # boundary casts restore f32
+        err = np.abs(np.asarray(a, np.float64)
+                     - np.asarray(b, np.float64)).max()
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        assert err / scale < 0.15, (err, scale)

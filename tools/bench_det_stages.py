@@ -74,6 +74,8 @@ def main():
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--max-obj', type=int, default=256)
     ap.add_argument('--bf16', action='store_true')
+    ap.add_argument('--bf16-dense', action='store_true',
+                    help='head dense stage (FCOS towers + key/value) bf16')
     ap.add_argument('--pallas', action='store_true')
     args = ap.parse_args()
 
@@ -84,6 +86,8 @@ def main():
             cfg, pnp=dataclasses.replace(cfg.pnp, use_pallas=True))
     if args.bf16:
         cfg = dataclasses.replace(cfg, bf16_backbone=True)
+    if args.bf16_dense:
+        cfg = dataclasses.replace(cfg, bf16_dense=True)
     model = build_detector(cfg)
 
     h, w, bs = args.height, args.width, args.bs
