@@ -91,14 +91,18 @@ def bilinear_sample_packed(feat: jnp.ndarray, coords: jnp.ndarray,
                                      out_dtype=feat.dtype)
 
 
-def bilinear_sample_prepacked(packed: jnp.ndarray, feat_hw,
-                              coords: jnp.ndarray,
-                              padding_mode: str = 'border',
-                              out_dtype=None) -> jnp.ndarray:
-    """Sample from ``pack_patches`` output. See bilinear_sample_packed."""
+def corner_rows_and_weights(coords: jnp.ndarray, feat_hw,
+                            padding_mode: str = 'border'):
+    """Row indices into a ``pack_patches`` table + the 4 corner weights.
+
+    Returns ``(flat_rows, w4)`` with ``flat_rows`` int32 of shape
+    ``coords.shape[:-1]`` (index into ``packed.reshape(-1, 4c)``) and
+    ``w4`` of shape ``coords.shape[:-1] + (4,)`` holding the bilinear
+    corner weights ``[w00, w01, w10, w11]`` with out-of-map validity
+    folded in for ``padding_mode='zeros'``. Shared by the jnp sampler
+    and the fused deformable-conv kernel (ops/pallas_dcn.py).
+    """
     h, w = feat_hw
-    c4 = packed.shape[-1]
-    c = c4 // 4
     x, y = coords[..., 0], coords[..., 1]
     if padding_mode == 'border':
         x = jnp.clip(x, 0, w - 1)
@@ -124,10 +128,22 @@ def bilinear_sample_prepacked(packed: jnp.ndarray, feat_hw,
         w11 = jnp.where(y_in1 & x_in1, w11, 0)
     yb = jnp.clip(y0, -1, h).astype(jnp.int32) + 1
     xb = jnp.clip(x0, -1, w).astype(jnp.int32) + 1
-    flat = (yb * (w + 2) + xb).reshape(-1)
-    rows = packed.reshape(-1, c4)[flat]
+    flat = yb * (w + 2) + xb
+    w4 = jnp.stack([w00, w01, w10, w11], axis=-1)
+    return flat, w4
+
+
+def bilinear_sample_prepacked(packed: jnp.ndarray, feat_hw,
+                              coords: jnp.ndarray,
+                              padding_mode: str = 'border',
+                              out_dtype=None) -> jnp.ndarray:
+    """Sample from ``pack_patches`` output. See bilinear_sample_packed."""
+    c4 = packed.shape[-1]
+    c = c4 // 4
+    flat, w4 = corner_rows_and_weights(coords, feat_hw, padding_mode)
+    rows = packed.reshape(-1, c4)[flat.reshape(-1)]
     rows = rows.reshape(coords.shape[:-1] + (4, c))
-    wts = jnp.stack([w00, w01, w10, w11], axis=-1).astype(rows.dtype)
+    wts = w4.astype(rows.dtype)
     out = jnp.einsum('...kc,...k->...c', rows, wts)
     return out if out_dtype is None else out.astype(out_dtype)
 

@@ -21,12 +21,23 @@ from .bilinear_sample import bilinear_sample_packed
 
 
 class DeformConv(nn.Module):
-    """3x3 modulated deformable conv (DCNv2), stride 1, NHWC."""
+    """3x3 modulated deformable conv (DCNv2), stride 1, NHWC.
+
+    ``fused`` selects the TPU Pallas contraction kernel
+    (ops/pallas_dcn.py): the bilinear corner combine + tap matmul run in
+    VMEM on the gathered patch rows, avoiding the HBM relayouts XLA
+    inserts around the jnp formulation (~3x the gather cost at serving
+    shapes). ``None`` = auto (fused on any non-CPU backend; the pure-jnp
+    path on CPU, where the kernel would need interpret mode). Gradients
+    always flow through the jnp reference formulation (custom_vjp), so
+    training numerics are identical either way.
+    """
 
     features: int
     kernel_size: int = 3
     use_modulation: bool = True
     dtype: Any = jnp.float32
+    fused: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,15 +66,40 @@ class DeformConv(nn.Module):
         grid = jnp.stack([xx, yy], axis=-1)  # (h, w, 2) in [x, y]
         coords = grid[None, :, :, None, :] + base + offsets  # (n,h,w,taps,2)
 
+        kernel = self.param(
+            'kernel', nn.initializers.he_normal(),
+            (taps * c_in, self.features), self.dtype)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          self.dtype)
+
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = jax.default_backend() != 'cpu'
+        if use_fused:
+            from .bilinear_sample import pack_patches, corner_rows_and_weights
+            from .pallas_dcn import dcn_gather_contract, pack_patches_mxu
+            kern3 = kernel.reshape(taps, c_in, self.features)
+            pack = (pack_patches_mxu if x.dtype.itemsize <= 2
+                    else pack_patches)
+
+            packed = jax.vmap(pack)(x)          # (n, (h+2)(w+2)... , 4c)
+            rows_per_img = packed.shape[1] * packed.shape[2]
+            rows, w4 = corner_rows_and_weights(coords, (h, w), 'zeros')
+            w4 = w4 * mod[..., None]  # fold modulation into the weights
+            # fold the image index into the rows and keep the gather 1-D:
+            # a vmapped gather lowers to XLA's 2-index path (~7x slower)
+            rows = rows + (jnp.arange(n, dtype=rows.dtype)
+                           * rows_per_img)[:, None, None, None]
+            # tap-major so each tap's rows form one contiguous block
+            rows = rows.reshape(n * h * w, taps).T
+            w4 = w4.reshape(n * h * w, taps, 4).swapaxes(0, 1)
+            out = dcn_gather_contract(packed.reshape(-1, 4 * c_in),
+                                      rows, w4, kern3)
+            return out.reshape(n, h, w, self.features) + bias
+
         sampled = jax.vmap(
             lambda feat, crd: bilinear_sample_packed(feat, crd, 'zeros')
         )(x, coords)  # (n, h, w, taps, c_in)
         sampled = sampled * mod[..., None]
-
-        kernel = self.param(
-            'kernel', nn.initializers.he_normal(),
-            (taps * c_in, self.features), self.dtype)
         out = sampled.reshape(n, h, w, taps * c_in) @ kernel
-        bias = self.param('bias', nn.initializers.zeros, (self.features,),
-                          self.dtype)
         return out + bias

@@ -1,0 +1,172 @@
+"""Fused deformable-conv sampling contraction (TPU Pallas kernel).
+
+Motivation (measured on 1x v5e, v1b 896x1600 serving): XLA compiles the
+jnp formulation of DCNv2 — patch-row gather -> bilinear corner combine ->
+``(h*w, taps*C) @ (taps*C, Cout)`` matmul — into ~3x more HBM traffic
+than the gather itself. The corner combine lowers to a VPU loop fusion
+(~8 ms per stride-8 layer), and the ``(h*w, taps*C)`` stack is
+materialized twice more for layout conversion around the MXU matmul (a
+103 MB bf16 relayout fusion alone costs ~18 ms). This kernel consumes
+the raw gathered patch rows in L-blocks and performs the corner combine
+(VPU) plus the per-tap contraction (MXU) entirely in VMEM, so the
+intermediate stack never exists in HBM.
+
+The gather itself stays in XLA (random-access row gathers run at the
+XLA gather ceiling, ~90-115 GB/s on 1x v5e; Pallas cannot beat that
+without per-sample DMAs). Differentiation goes through a ``custom_vjp``
+whose backward re-derives the pure-jnp reference formulation, so the
+training path is numerically unchanged.
+
+Reference: mmcv DCNv2 semantics (EPro-PnP-Det R101-DCN backbone stages
+and ``dcn_on_last_conv`` head towers — configs/epropnp_det_basic.py:31,
+61); module-level citations in ops/deform_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (kept for parity with sibling kernels)
+
+
+# Flip to True (tests) to run the kernel in interpret mode on CPU.
+INTERPRET = False
+
+
+def _contract_kernel(g_ref, w4_ref, k_ref, out_ref, *, taps: int, c: int):
+    """One L-block: combine 4 corners per tap, contract taps on the MXU.
+
+    g_ref: (taps, bl, 4c) gathered patch rows.
+    w4_ref: (taps, bl, 4) corner weights (modulation folded in).
+    k_ref: (taps, c, cout) conv kernel, constant across the grid.
+    out_ref: (bl, cout).
+    """
+    acc = None
+    for t in range(taps):
+        gt = g_ref[t]
+        wt = w4_ref[t]
+        s = (gt[:, :c] * wt[:, 0:1]
+             + gt[:, c:2 * c] * wt[:, 1:2]
+             + gt[:, 2 * c:3 * c] * wt[:, 2:3]
+             + gt[:, 3 * c:] * wt[:, 3:4])
+        # dot in the feature dtype: bf16 features hit the single-pass MXU
+        # path (XLA's default matmul precision truncates to bf16 there
+        # too), f32 features keep a full-precision dot
+        d = jnp.dot(s.astype(g_ref.dtype), k_ref[t].astype(g_ref.dtype),
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _contract_pallas(g: jnp.ndarray, w4: jnp.ndarray, kern: jnp.ndarray,
+                     block_l: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(taps, L, 4c), (taps, L, 4), (taps, c, cout) -> (L, cout)."""
+    taps, length, c4 = g.shape
+    c = c4 // 4
+    cout = kern.shape[-1]
+    if block_l is None:
+        # VMEM: g block taps*bl*4c*itemsize double-buffered + kern resident.
+        block_l = 128 if g.dtype.itemsize <= 2 else 64
+    pad = (-length) % block_l
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        w4 = jnp.pad(w4, ((0, 0), (0, pad), (0, 0)))
+    grid = (g.shape[1] // block_l,)
+    out = pl.pallas_call(
+        functools.partial(_contract_kernel, taps=taps, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((taps, block_l, c4), lambda i: (0, i, 0)),
+            pl.BlockSpec((taps, block_l, 4), lambda i: (0, i, 0)),
+            pl.BlockSpec((taps, c, cout), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_l, cout), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g.shape[1], cout), g.dtype),
+        interpret=interpret or INTERPRET,
+    )(g, w4.astype(jnp.float32), kern)
+    return out[:length]
+
+
+def _ref_contract(packed_flat, rows, w4, kern):
+    """Pure-jnp reference of gather+combine+contract (backward path).
+
+    Matches bilinear_sample_prepacked followed by the tap matmul: the
+    combine runs in the gathered dtype (weights cast down), accumulation
+    in f32 via the dot.
+    """
+    taps, length = rows.shape
+    c4 = packed_flat.shape[-1]
+    c = c4 // 4
+    g = packed_flat[rows]                                   # (taps, L, 4c)
+    g = g.reshape(taps, length, 4, c)
+    s = jnp.einsum('tljc,tlj->tlc', g, w4.astype(g.dtype))
+    return jnp.einsum('tlc,tco->lo', s.astype(kern.dtype), kern,
+                      preferred_element_type=jnp.float32).astype(g.dtype)
+
+
+def pack_patches_mxu(feat: jnp.ndarray) -> jnp.ndarray:
+    """``pack_patches`` as a one-hot 2x2 convolution (bf16 features).
+
+    XLA lowers the pad+4-slice-concat construction of the (h+2, w+2, 4c)
+    patch table to a ~9 GB/s loop fusion (~5 ms per stride-8 DCN at v1b
+    serving shapes). A 2x2 convolution with a constant 0/1 kernel builds
+    the same table on the MXU in ~0.1 ms, exactly: products by 1.0 and
+    accumulation with zeros are lossless, and the f32 accumulator rounds
+    back to the original bf16 values.
+
+    Only used for 16-bit features — for f32 inputs the MXU's default
+    bf16 truncation would corrupt the copy, and the concat construction
+    is comparatively cheap there.
+    """
+    h, w, c = feat.shape
+    fp = jnp.pad(feat, ((1, 2), (1, 2), (0, 0)))
+    kern = np.zeros((2, 2, c, 4 * c), np.float32)
+    for j, (ky, kx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        kern[ky, kx, np.arange(c), j * c + np.arange(c)] = 1.0
+    out = jax.lax.conv_general_dilated(
+        fp[None], jnp.asarray(kern, feat.dtype),
+        window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return out[0].astype(feat.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dcn_gather_contract(packed_flat, rows, w4, kern, interpret=False):
+    """Gather patch rows and contract with the DCN kernel, fused on TPU.
+
+    The gather MUST stay a plain 1-D row gather: callers fold any image
+    batch index into ``rows`` (``row + img * rows_per_image``) instead of
+    vmapping this function — a vmapped/batched gather lowers to XLA's
+    two-index "bitpacked" gather path, which runs ~7x slower than the
+    1-D row form at v1b stride-8 shapes (26 vs 187 GB/s measured).
+
+    Args:
+        packed_flat: (R, 4c) ``pack_patches`` table(s), flattened
+            spatially (and across images, if batched).
+        rows: (taps, L) int32 row indices (``corner_rows_and_weights``).
+        w4: (taps, L, 4) corner weights with modulation folded in.
+        kern: (taps, c, cout) convolution kernel.
+
+    Returns (L, cout) in the feature dtype.
+    """
+    g = packed_flat[rows]
+    return _contract_pallas(g, w4, kern, interpret=interpret)
+
+
+def _fwd(packed_flat, rows, w4, kern, interpret):
+    return dcn_gather_contract(packed_flat, rows, w4, kern, interpret), \
+        (packed_flat, rows, w4, kern)
+
+
+def _bwd(interpret, res, ct):
+    packed_flat, rows, w4, kern = res
+    _, vjp = jax.vjp(_ref_contract, packed_flat, rows, w4, kern)
+    return vjp(ct)
+
+
+dcn_gather_contract.defvjp(_fwd, _bwd)
