@@ -315,18 +315,84 @@ class NuScenes3DDataset:
                                            'bboxes_3d': (7,)}[k]))
         return gt
 
+    def build_global_gt(self):
+        """Global-frame GT frames for the self-contained evaluator.
+
+        Lifts each camera-frame annotation (converter pickles store
+        nuScenes-native center/wlh/quaternion per camera) through
+        sensor->ego->global, dedups objects seen by multiple cameras
+        (by ``ann_token`` when the converter recorded it, else by
+        rounded global center + class), and returns
+        ``(gt_frames, ego_centers)`` for ``nuscenes_eval``.
+
+        Deviation vs the devkit GT (documented): objects visible in NO
+        camera (fully occluded / outside all frusta) are absent; the
+        devkit draws GT from the lidar sample annotations directly.
+        """
+        gt_frames: Dict[str, List[Dict]] = {}
+        ego_centers: Dict[str, List[float]] = {}
+        seen: Dict[str, set] = {}
+        for info in self.data_infos:
+            token = info['sample_token']
+            s2e_q = np.asarray(info['sensor2ego_rotation'], np.float64)
+            s2e_t = np.asarray(info['sensor2ego_translation'], np.float64)
+            e2g_q = np.asarray(info['ego2global_rotation'], np.float64)
+            e2g_t = np.asarray(info['ego2global_translation'], np.float64)
+            gt_frames.setdefault(token, [])
+            ego_centers.setdefault(token, [float(e2g_t[0]),
+                                           float(e2g_t[1])])
+            seen.setdefault(token, set())
+            for ann in info.get('annotations', []):
+                name = ann['category']
+                if name not in CLASSES:
+                    continue
+                center = np.asarray(ann['translation'], np.float64)
+                quat = np.asarray(ann['rotation'], np.float64)
+                velo_g = np.asarray(ann.get('velocity', (np.nan, np.nan)),
+                                    np.float64)
+                # camera -> ego -> global
+                center = quat_to_mat(s2e_q) @ center + s2e_t
+                quat = quat_multiply(s2e_q, quat)
+                center = quat_to_mat(e2g_q) @ center + e2g_t
+                quat = quat_multiply(e2g_q, quat)
+                key = ann.get('ann_token') or (
+                    name, round(center[0], 1), round(center[1], 1))
+                if key in seen[token]:
+                    continue
+                seen[token].add(key)
+                gt_frames[token].append(dict(
+                    translation=[float(v) for v in center],
+                    size=[float(v) for v in ann['size']],
+                    rotation=[float(v) for v in quat],
+                    velocity=[float(v) for v in velo_g[:2]],
+                    detection_name=name,
+                    attribute_name=ann.get('attribute', ''),
+                    num_pts=int(ann.get('num_pts', 1))))
+        return gt_frames, ego_centers
+
     def evaluate(self, results: List[Dict], out_dir: str,
                  eval_version: str = 'detection_cvpr_2019'):
-        """Fusion + submission + official NDS (devkit required for NDS)."""
+        """Fusion + submission + NDS/mAP.
+
+        Uses the official devkit when installed (reference behavior,
+        nuscenes3d_dataset.py:240-280); otherwise falls back to the
+        self-contained ``nuscenes_eval`` implementation of the same
+        detection_cvpr_2019 protocol.
+        """
         assert len(results) % NUM_CAMS == 0
         frames = []
         for f_start in range(0, len(results), NUM_CAMS):
             cam_results = []
             for i in range(f_start, f_start + NUM_CAMS):
                 r = dict(results[i])
-                r.update(self.data_infos[i].get('calib', {}))
-                r.setdefault('sample_token',
-                             self.data_infos[i].get('sample_token'))
+                info = self.data_infos[i]
+                r.update(info.get('calib', {}))
+                # converter pickles keep calibration at the top level
+                for k in ('sensor2ego_rotation', 'sensor2ego_translation',
+                          'ego2global_rotation', 'ego2global_translation'):
+                    if k in info:
+                        r.setdefault(k, info[k])
+                r.setdefault('sample_token', info.get('sample_token'))
                 cam_results.append(r)
             frames.append(dict(
                 boxes=multicam_fusion(cam_results, self.nms_thr),
@@ -336,10 +402,22 @@ class NuScenes3DDataset:
         try:
             from nuscenes import NuScenes  # noqa: F401
         except ImportError:
-            return dict(result_path=res_path,
-                        note='nuscenes devkit unavailable: submission '
-                             'written, official NDS/mAP not computed')
+            return self._self_contained_eval(res_path)
         return self._official_eval(res_path, out_dir, eval_version)
+
+    def _self_contained_eval(self, res_path: str) -> Dict:
+        """Devkit-free NDS/mAP on the written submission JSON."""
+        from .nuscenes_eval import evaluate_detection
+        with open(res_path) as f:
+            pred_frames = json.load(f)['results']
+        gt_frames, ego_centers = self.build_global_gt()
+        metrics = evaluate_detection(pred_frames, gt_frames,
+                                     classes=CLASSES,
+                                     ego_centers=ego_centers)
+        metrics['result_path'] = res_path
+        metrics['note'] = ('self-contained detection_cvpr_2019 metrics '
+                           '(nuscenes devkit unavailable)')
+        return metrics
 
     def _official_eval(self, res_path, out_dir, eval_version):
         from nuscenes import NuScenes

@@ -98,7 +98,12 @@ def convert(root: str, version: str, out_prefix: str,
                     velocity=[float(velo[0]), float(velo[1])],
                     attribute=attrs[0] if attrs else '',
                     visibility=vis,
-                    truncation=float(trunc)))
+                    truncation=float(trunc),
+                    # for the self-contained evaluator: cross-camera GT
+                    # dedup + the devkit's num_pts>0 GT filter
+                    ann_token=box.token,
+                    num_pts=int(ann['num_lidar_pts'])
+                    + int(ann['num_radar_pts'])))
             infos[split].append(dict(
                 img_path=sd['filename'],
                 cam_id=CAMS.index(cam),
