@@ -21,6 +21,7 @@ KITTI_CLASSES = ('Car', 'Pedestrian', 'Cyclist')
 def parse_label_file(path: str, with_score: bool = False) -> Dict:
     """KITTI label txt -> annotation dict (see kitti_eval format)."""
     names, trunc, occ, bbox, dims, loc, ry, score = ([] for _ in range(8))
+    alpha = []
     if os.path.isfile(path):
         with open(path) as f:
             for line in f:
@@ -30,6 +31,7 @@ def parse_label_file(path: str, with_score: bool = False) -> Dict:
                 names.append(v[0])
                 trunc.append(float(v[1]))
                 occ.append(float(v[2]))
+                alpha.append(float(v[3]))
                 bbox.append([float(x) for x in v[4:8]])
                 # label order h, w, l -> store (l, h, w)
                 h, w, l = (float(x) for x in v[8:11])
@@ -42,6 +44,7 @@ def parse_label_file(path: str, with_score: bool = False) -> Dict:
         name=np.asarray(names),
         truncated=np.asarray(trunc, np.float32),
         occluded=np.asarray(occ, np.float32),
+        alpha=np.asarray(alpha, np.float32),
         bbox=np.asarray(bbox, np.float32).reshape(-1, 4),
         dimensions=np.asarray(dims, np.float32).reshape(-1, 3),
         location=np.asarray(loc, np.float32).reshape(-1, 3),
@@ -95,10 +98,16 @@ class KITTI3DDataset:
         return os.path.join(self.root, 'image_2', self.ids[idx] + '.png')
 
     def evaluate(self, dt_annos: List[Dict],
-                 classes: Sequence[str] = None) -> Dict:
+                 classes: Sequence[str] = None,
+                 coco_style: bool = False) -> Dict:
         gt_annos = [self.get_ann(i) for i in range(len(self))]
-        return kitti_eval(gt_annos, dt_annos,
-                          classes=classes or self.CLASSES)
+        out = kitti_eval(gt_annos, dt_annos,
+                         classes=classes or self.CLASSES)
+        if coco_style:
+            from .kitti_eval import kitti_eval_coco_style
+            out.update(kitti_eval_coco_style(
+                gt_annos, dt_annos, classes=classes or self.CLASSES))
+        return out
 
 
 class KITTI3DCarDataset(KITTI3DDataset):
