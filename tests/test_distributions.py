@@ -62,6 +62,24 @@ def test_von_mises_log_prob_vs_torch():
     np.testing.assert_allclose(lp, expect.numpy(), rtol=1e-6)
 
 
+def test_von_mises_mix_log_prob_vs_scipy():
+    """Exact mixture log-prob oracle: 0.75 scipy.vonmises + 0.25 uniform.
+
+    Reference: epropnp/distributions.py:74-79 (VonMisesUniformMix
+    log_prob as logaddexp of the two weighted components).
+    """
+    from scipy.stats import vonmises
+    rng = np.random.default_rng(7)
+    loc = rng.uniform(-3, 3, size=(5, 1))
+    kappa = rng.uniform(0.05, 80.0, size=(5, 1))
+    x = rng.uniform(-np.pi, np.pi, size=(9, 5, 1))
+    d = VonMisesUniformMix(jnp.asarray(loc), jnp.asarray(kappa))
+    lp = np.asarray(d.log_prob(jnp.asarray(x)))
+    pdf_vm = vonmises.pdf(x, kappa[None], loc=loc[None])
+    expect = np.log(0.75 * pdf_vm + 0.25 / (2 * np.pi))
+    np.testing.assert_allclose(lp, expect, rtol=1e-6, atol=1e-12)
+
+
 def test_von_mises_mix_normalizes():
     loc = jnp.asarray([[0.7], [-2.0]])
     kappa = jnp.asarray([[5.0], [0.5]])
