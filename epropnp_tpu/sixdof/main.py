@@ -139,7 +139,9 @@ def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
 
 
 def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
-              init: str = 'epnp', batch_size: int = 32, log_interval=20):
+              init: str = 'epnp', batch_size: int = 32, log_interval=20,
+              cache_file: Optional[str] = None,
+              orient_density_dir: Optional[str] = None):
     """Evaluate a trained state on a test split (reference lib/test.py).
 
     Args:
@@ -148,6 +150,12 @@ def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
             this driver expects homogeneous-class batches or per-sample
             iteration (default LineMODDataset ordering groups by class).
         models: {class_name: (n, 3) model points}; diameters likewise.
+        cache_file: optional .npz path; if it exists, predictions are
+            loaded and inference is skipped entirely, otherwise they are
+            saved after the loop (reference lib/test.py:44-74).
+        orient_density_dir: if set, render the SO(3) orientation-density
+            sphere for every sample into this directory (reference
+            lib/test.py:218-225).
 
     Returns the metric dicts from :class:`eval_metrics.PoseEvaluator`.
     """
@@ -162,6 +170,20 @@ def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
     evaluator = PoseEvaluator(list(models), models, diameters,
                               cam_k=np.asarray(ref.CAMERA_MATRIX))
     cam = jnp.asarray(ref.CAMERA_MATRIX, jnp.float32)
+
+    def _metrics():
+        return dict(pose=evaluator.evaluate_pose(),
+                    add=evaluator.evaluate_pose_add(),
+                    arp_2d=evaluator.evaluate_pose_arp_2d())
+
+    if cache_file and os.path.exists(cache_file):
+        data = np.load(cache_file)
+        logger.info('loaded %d cached predictions from %s',
+                    len(data['obj']), cache_file)
+        for k in range(len(data['obj'])):
+            evaluator.update(str(data['obj'][k]), data['pose_est'][k],
+                             data['pose_gt'][k])
+        return _metrics()
     refine_fn = test_lib.make_refine_fn(cfg, cam)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
@@ -175,6 +197,9 @@ def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
 
     extents = {c: dataset.min_extents(c) for c in dataset.classes}
     n = len(dataset)
+    cache = {'obj': [], 'pose_est': [], 'pose_gt': []}
+    if orient_density_dir:
+        os.makedirs(orient_density_dir, exist_ok=True)
     for start in range(0, n, batch_size):
         idx = range(start, min(start + batch_size, n))
         samples = [dataset[i] for i in idx]
@@ -188,8 +213,22 @@ def test_loop(cfg: SixDoFConfig, dataset, state, models, diameters,
         pose_est = np.asarray(res.pose_est)
         for k, s in enumerate(samples):
             evaluator.update(s.obj, pose_est[k], np.asarray(s.pose))
+            cache['obj'].append(s.obj)
+            cache['pose_est'].append(pose_est[k])
+            cache['pose_gt'].append(np.asarray(s.pose))
+        if orient_density_dir:
+            imgs = test_lib.orient_density_images(outs, batch, cam, cfg)
+            import cv2
+            for k, img in enumerate(imgs):
+                cv2.imwrite(os.path.join(
+                    orient_density_dir,
+                    f'{samples[k].obj}_{start + k:06d}.png'), img)
         if (start // batch_size) % log_interval == 0:
             logger.info('eval %d/%d', start + len(samples), n)
-    return dict(pose=evaluator.evaluate_pose(),
-                add=evaluator.evaluate_pose_add(),
-                arp_2d=evaluator.evaluate_pose_arp_2d())
+    if cache_file:
+        np.savez_compressed(
+            cache_file, obj=np.asarray(cache['obj']),
+            pose_est=np.stack(cache['pose_est']),
+            pose_gt=np.stack(cache['pose_gt']))
+        logger.info('cached %d predictions -> %s', n, cache_file)
+    return _metrics()

@@ -1,11 +1,16 @@
 """Load the PyTorch reference core from /root/reference as a test oracle.
 
-Only the pyro-free modules (common/camera/cost_fun/levenberg_marquardt) are
-loadable in this image. Tests that need them must skip when the reference
-checkout or torch is unavailable.
+``load_reference_pnp`` loads the pyro-free modules
+(common/camera/cost_fun/levenberg_marquardt). ``load_reference_epropnp``
+additionally installs a minimal pyro shim (torch-only
+``MultivariateStudentT`` + base-class aliases) so the full probabilistic
+layer (distributions/epropnp, reference epropnp/epropnp.py:87-196) is
+loadable as an oracle without pyro. Tests that need them must skip when
+the reference checkout or torch is unavailable.
 """
 
 import importlib.util
+import math
 import os
 import sys
 import types
@@ -28,6 +33,95 @@ def load_reference_pnp():
     pkg.__path__ = [REF_DIR]
     sys.modules["refpnp"] = pkg
     for name in _MODULES:
+        spec = importlib.util.spec_from_file_location(
+            f"refpnp.{name}", os.path.join(REF_DIR, name + ".py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refpnp.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    return pkg
+
+
+def _install_pyro_shim():
+    """Register a minimal ``pyro.distributions`` built on plain torch.
+
+    Covers exactly the surface the reference core touches:
+    ``TorchDistribution`` (= torch Distribution), ``constraints``,
+    ``broadcast_shape`` and ``MultivariateStudentT(df, loc, scale_tril)``
+    with ``.sample``/``.log_prob`` (reference epropnp/epropnp.py:10,224,
+    distributions.py:11-12).
+    """
+    if "pyro" in sys.modules:
+        return
+    import torch
+
+    class MultivariateStudentT:
+        def __init__(self, df, loc, scale_tril):
+            self.df = df
+            self.loc = loc
+            self.scale_tril = scale_tril
+
+        def sample(self, sample_shape=()):
+            with torch.no_grad():
+                shape = tuple(sample_shape) + tuple(
+                    torch.broadcast_shapes(self.loc.shape[:-1],
+                                           self.scale_tril.shape[:-2])
+                ) + self.loc.shape[-1:]
+                z = torch.randn(shape, dtype=self.loc.dtype,
+                                device=self.loc.device)
+                chi2 = torch.distributions.Chi2(
+                    torch.tensor(float(self.df), dtype=self.loc.dtype))
+                w = chi2.sample(shape[:-1]) / self.df
+                return self.loc + (self.scale_tril @ z.unsqueeze(-1)
+                                   ).squeeze(-1) / w.sqrt().unsqueeze(-1)
+
+        def log_prob(self, value):
+            p = value.shape[-1]
+            df = float(self.df)
+            diff = (value - self.loc).unsqueeze(-1)
+            sol = torch.linalg.solve_triangular(
+                torch.broadcast_to(
+                    self.scale_tril,
+                    torch.broadcast_shapes(
+                        self.scale_tril.shape, diff.shape[:-2] + (p, p))),
+                diff, upper=False)
+            maha = sol.squeeze(-1).pow(2).sum(-1)
+            half_log_det = self.scale_tril.diagonal(
+                dim1=-2, dim2=-1).log().sum(-1)
+            return (math.lgamma(0.5 * (df + p)) - math.lgamma(0.5 * df)
+                    - 0.5 * p * math.log(df * math.pi) - half_log_det
+                    - 0.5 * (df + p) * torch.log1p(maha / df))
+
+    pyro = types.ModuleType("pyro")
+    dist = types.ModuleType("pyro.distributions")
+    util = types.ModuleType("pyro.distributions.util")
+    dist.TorchDistribution = torch.distributions.Distribution
+    dist.constraints = torch.distributions.constraints
+    dist.MultivariateStudentT = MultivariateStudentT
+    util.broadcast_shape = lambda *shapes: torch.broadcast_shapes(*shapes)
+    dist.util = util
+    pyro.distributions = dist
+    sys.modules["pyro"] = pyro
+    sys.modules["pyro.distributions"] = dist
+    sys.modules["pyro.distributions.util"] = util
+
+
+def load_reference_epropnp():
+    """Full reference core incl. the probabilistic layer, or None.
+
+    Returns the ``refpnp`` package extended with ``distributions`` and
+    ``epropnp`` modules (loaded under the pyro shim).
+    """
+    pkg = load_reference_pnp()
+    if pkg is None:
+        return None
+    if hasattr(pkg, "epropnp"):
+        return pkg
+    try:
+        import pyro  # noqa: F401  (real pyro wins if present)
+    except ImportError:
+        _install_pyro_shim()
+    for name in ["distributions", "epropnp"]:
         spec = importlib.util.spec_from_file_location(
             f"refpnp.{name}", os.path.join(REF_DIR, name + ".py"))
         mod = importlib.util.module_from_spec(spec)

@@ -54,3 +54,31 @@ def test_test_loop_structure():
     assert 'mean' in metrics['add']
     for key in ('0.02', '0.05', '0.10', 'auc'):
         assert np.isfinite(metrics['add']['mean'][key])
+
+
+def test_test_loop_cache_roundtrip_and_density(tmp_path):
+    """Prediction caching (ref lib/test.py:44-74): a second run loads the
+    .npz instead of running inference and reproduces identical metrics;
+    the orientation-density hook (ref :218-225) writes one image per
+    sample."""
+    cfg = tiny_cfg()
+    model, _, tx, _ = main_lib.build_all(cfg)
+    state = main_lib.init_state(cfg, model, tx)
+    ds = StubTestDataset()
+    pts = np.random.default_rng(1).uniform(-.05, .05, (50, 3))
+    models = {c: pts for c in ds.classes}
+    diameters = {c: 0.1 for c in ds.classes}
+    cache = str(tmp_path / 'preds.npz')
+    dens_dir = str(tmp_path / 'density')
+    m1 = main_lib.test_loop(cfg, ds, state, models, diameters,
+                            init='rslm', batch_size=4, cache_file=cache,
+                            orient_density_dir=dens_dir)
+    assert len(list((tmp_path / 'density').glob('*.png'))) == len(ds)
+
+    class Exploding(StubTestDataset):
+        def __getitem__(self, i):
+            raise AssertionError('cache hit must skip inference')
+
+    m2 = main_lib.test_loop(cfg, Exploding(), state, models, diameters,
+                            init='rslm', batch_size=4, cache_file=cache)
+    assert m1['add']['mean'] == m2['add']['mean']
