@@ -30,6 +30,9 @@ import numpy as np
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+TESTS_DIR = os.path.join(REPO_ROOT, 'tests')
+if TESTS_DIR not in sys.path:
+    sys.path.insert(0, TESTS_DIR)
 
 GLOBAL_SAMPLES = 8
 INP_RES, OUT_RES = 64, 16
@@ -135,8 +138,16 @@ def run_step_on_mesh(mesh, batch_np, axis_name='data', multiprocess=False):
     else:
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
 
+    def step_with_synced_metrics(state, batch, key):
+        # step_fn reports the local-shard loss (grads/EMA are pmean'd,
+        # metrics are per-replica like DDP's per-rank logging); pmean the
+        # metrics here so the P() out_spec really is replicated and every
+        # process observes the same value.
+        new_state, metrics = step_fn(state, batch, key)
+        return new_state, jax.lax.pmean(metrics, axis_name)
+
     sharded_step = jax.jit(shard_map(
-        step_fn, mesh=mesh,
+        step_with_synced_metrics, mesh=mesh,
         in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False))
@@ -145,8 +156,102 @@ def run_step_on_mesh(mesh, batch_np, axis_name='data', multiprocess=False):
     loss = float(np.asarray(jax.device_get(metrics['loss'])).ravel()[0])
     digest = float(sum(
         np.abs(np.asarray(jax.device_get(leaf), np.float64)).sum()
-        for leaf in jax.tree_util.tree_leaves(new_state.variables)))
-    return loss, digest
+        for leaf in jax.tree_util.tree_leaves(
+            (new_state.params, new_state.batch_stats))))
+    parts = {k: float(np.asarray(jax.device_get(v), np.float64).ravel()[0])
+             for k, v in metrics.items()}
+    return loss, digest, parts
+
+
+def make_det_global_dataset(seed: int = 0):
+    """Deterministic synthetic Det dataset of GLOBAL_SAMPLES images.
+
+    Reuses the tiny-Det fixture from test_det_train (two valid GT boxes
+    per image, lidar OC points, dense x2d maps) converted to numpy so it
+    can feed ``jax.make_array_from_process_local_data``.
+    """
+    import test_det_train as det_fix
+    batch = det_fix.make_batch(seed=seed, n_img=GLOBAL_SAMPLES)
+    return type(batch)(*[np.asarray(a) for a in batch])
+
+
+def make_det_config():
+    """Minimal Det config for the cross-process step (CPU-compile-friendly).
+
+    The tiny_cfg fixture compiles in ~8 min on CPU; shrinking the AMIS /
+    LM / sampling sizes keeps the same code paths while fitting the test
+    budget.
+    """
+    import dataclasses
+    import test_det_train as det_fix
+    from epropnp_tpu.det.config import DetPnPConfig, DetTrainConfig
+    cfg = det_fix.tiny_cfg()
+    return dataclasses.replace(
+        cfg,
+        num_points=2,
+        pnp=DetPnPConfig(mc_samples=8, num_iter=1, lm_num_iter=1,
+                         rs_num_points=4, rs_num_proposals=2, rs_num_iter=1),
+        train=DetTrainConfig(num_obj_samples_per_img=2, roi_shape=(4, 4),
+                             max_gt_per_img=det_fix.GMAX))
+
+
+def run_det_step_on_mesh(mesh, batch_np, axis_name='data',
+                         multiprocess=False):
+    """Det-suite analogue of run_step_on_mesh: ONE jitted DP train step.
+
+    Exercises the full DeformPnPHead training path (FCOS losses, AMIS
+    Monte Carlo pose loss, cross-RoI projection NLL, EMA pmean sync)
+    over the cross-process mesh — the reference's MMDistributedDataParallel
+    step (/root/reference/EPro-PnP-Det/train.py:56-84).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import test_det_train as det_fix
+    from epropnp_tpu.det import train as dtrain
+
+    cfg = make_det_config()
+    model = det_fix.tiny_model(cfg)
+    # jit the init: eager op-by-op init of the full detector takes ~6 min
+    # on CPU, jitted it is seconds.
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, (det_fix.H, det_fix.W)))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, det_fix.H, det_fix.W, 3), jnp.float32))
+    tx = dtrain.make_optimizer(cfg)
+    state = dtrain.DetTrainState.create(variables, tx)
+    step_fn = dtrain.make_train_step(model, cfg, tx, axis_name=axis_name)
+
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P(axis_name), type(batch_np)(*batch_np))
+    if multiprocess:
+        sharding = NamedSharding(mesh, P(axis_name))
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch_np)
+    else:
+        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+
+    def step_with_synced_metrics(state, batch, key):
+        new_state, losses = step_fn(state, batch, key)
+        return new_state, jax.lax.pmean(losses, axis_name)
+
+    sharded_step = jax.jit(shard_map(
+        step_with_synced_metrics, mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False))
+    new_state, losses = sharded_step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(new_state)
+    parts = {k: float(np.asarray(jax.device_get(v), np.float64).ravel()[0])
+             for k, v in losses.items()}
+    loss = float(sum(v for k, v in parts.items() if k != 'grad_norm'))
+    digest = float(sum(
+        np.abs(np.asarray(jax.device_get(leaf), np.float64)).sum()
+        for leaf in jax.tree_util.tree_leaves(
+            (new_state.params, new_state.batch_stats, new_state.ema))))
+    return loss, digest, parts
 
 
 def worker_main():
@@ -154,6 +259,7 @@ def worker_main():
     nprocs = int(sys.argv[2])
     port = sys.argv[3]
     outdir = sys.argv[4]
+    suite = sys.argv[5] if len(sys.argv) > 5 else 'sixdof'
 
     os.environ['JAX_PLATFORMS'] = 'cpu'
     flags = os.environ.get('XLA_FLAGS', '')
@@ -162,6 +268,10 @@ def worker_main():
             flags + ' --xla_force_host_platform_device_count=2').strip()
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    # match tests/conftest.py: the parent's single-process comparison runs
+    # with x64 enabled; weak-typed promotions inside the det AMIS sampling
+    # diverge ~0.6% between f32 and f64 otherwise
+    jax.config.update('jax_enable_x64', True)
     jax.distributed.initialize(
         coordinator_address=f'127.0.0.1:{port}',
         num_processes=nprocs, process_id=proc_id)
@@ -171,15 +281,18 @@ def worker_main():
     assert jax.device_count() == 2 * nprocs
 
     idx = host_indices(nprocs, proc_id)
-    local_batch = type(make_global_dataset())(*[
-        a[idx] for a in make_global_dataset()])
+    make_ds = (make_det_global_dataset if suite == 'det'
+               else make_global_dataset)
+    run_fn = run_det_step_on_mesh if suite == 'det' else run_step_on_mesh
+    ds = make_ds()
+    local_batch = type(ds)(*[a[idx] for a in ds])
 
     mesh = Mesh(np.array(jax.devices()), ('data',))
-    loss, digest = run_step_on_mesh(mesh, local_batch, multiprocess=True)
+    loss, digest, parts = run_fn(mesh, local_batch, multiprocess=True)
 
     with open(os.path.join(outdir, f'out_{proc_id}.json'), 'w') as f:
         json.dump({'proc': proc_id, 'indices': [int(i) for i in idx],
-                   'loss': loss, 'digest': digest}, f)
+                   'loss': loss, 'digest': digest, 'parts': parts}, f)
     print(f'worker {proc_id}: loss={loss:.6f} digest={digest:.6f}',
           flush=True)
 

@@ -26,9 +26,9 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import subprocess
 import sys
-import tempfile
 
 import numpy as np
 import pytest
@@ -37,7 +37,13 @@ import _mp_train_worker as worker
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NPROCS = 2
-PORT = '19753'
+
+
+def _free_port() -> str:
+    """Bind an ephemeral port so concurrent runs never collide."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(('127.0.0.1', 0))
+        return str(s.getsockname()[1])
 
 
 def test_host_shards_disjoint_cover():
@@ -48,23 +54,25 @@ def test_host_shards_disjoint_cover():
 
 
 @pytest.mark.slow
-def test_two_process_train_step_matches_single_process(tmp_path):
+@pytest.mark.parametrize('suite', ['sixdof', 'det'])
+def test_two_process_train_step_matches_single_process(tmp_path, suite):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
     env.pop('PYTEST_CURRENT_TEST', None)
     script = os.path.join(REPO_ROOT, 'tests', '_mp_train_worker.py')
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), str(NPROCS), PORT,
-             str(tmp_path)],
+            [sys.executable, script, str(pid), str(NPROCS), port,
+             str(tmp_path), suite],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in range(NPROCS)]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -92,10 +100,30 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     import jax
     from jax.sharding import Mesh
     order = worker.global_order(NPROCS)
-    ds = worker.make_global_dataset()
+    make_ds = (worker.make_det_global_dataset if suite == 'det'
+               else worker.make_global_dataset)
+    run_fn = (worker.run_det_step_on_mesh if suite == 'det'
+              else worker.run_step_on_mesh)
+    ds = make_ds()
     global_batch = type(ds)(*[a[order] for a in ds])
     mesh = Mesh(np.array(jax.devices()[:2 * NPROCS]), ('data',))
-    loss, digest = worker.run_step_on_mesh(mesh, global_batch,
-                                           multiprocess=False)
-    assert loss == pytest.approx(results[0]['loss'], rel=2e-4)
-    assert digest == pytest.approx(results[0]['digest'], rel=2e-5)
+    loss, digest, parts = run_fn(mesh, global_batch, multiprocess=False)
+    mp_parts = results[0].get('parts', {})
+    diag = '\n'.join(
+        f'{k}: single={parts.get(k)!r} multi={mp_parts.get(k)!r}'
+        for k in sorted(set(parts) | set(mp_parts)))
+    if suite == 'det':
+        # The det step routes every pose-related loss through discrete
+        # Monte Carlo choices (RSLM proposal argmin, AMIS resampling):
+        # last-bit numeric differences between the single- and multi-
+        # process compiles flip near-tie selections and amplify to ~1%
+        # on those components. The sampling-free losses must still agree
+        # tightly; the MC-routed total only loosely.
+        for k in ('loss_cls', 'loss_rp', 'loss_centerness', 'loss_dim'):
+            assert parts[k] == pytest.approx(mp_parts[k], rel=1e-3), \
+                f'{k} mismatch\n{diag}'
+        assert loss == pytest.approx(results[0]['loss'], rel=3e-2), diag
+        assert digest == pytest.approx(results[0]['digest'], rel=1e-3), diag
+    else:
+        assert loss == pytest.approx(results[0]['loss'], rel=2e-4), diag
+        assert digest == pytest.approx(results[0]['digest'], rel=2e-5), diag
