@@ -342,11 +342,14 @@ def smooth(xs, w=11):
 
 
 def growth_slope(scale_means):
-    """Log-linear growth rate of the weight scale over the 2nd half."""
-    y = np.log(np.maximum(np.asarray(scale_means, np.float64), 1e-12))
-    y = y[len(y) // 2:]
-    t = np.arange(len(y))
-    return float(np.polyfit(t, y, 1)[0]) if len(y) > 3 else float('nan')
+    """Total log-growth of the weight scale (smoothed end vs start).
+
+    A per-step polyfit slope is dominated by MC sampling noise at a few
+    hundred steps; the end/start ratio of the smoothed trace is the
+    stable signal of the unbounded-confidence dynamic.
+    """
+    y = smooth(np.maximum(np.asarray(scale_means, np.float64), 1e-12))
+    return float(np.log(y[-1] / y[0])) if len(y) > 1 else float('nan')
 
 
 def analyze(torch_tr, jax0_tr, jax1_tr):
@@ -362,12 +365,12 @@ def analyze(torch_tr, jax0_tr, jax1_tr):
         out[key] = dict(mean_gap_torch_vs_jax0=float(gap),
                         mean_seed_envelope=float(envelope),
                         gap_over_envelope=float(gap / envelope))
-    out['scale_growth_slope'] = dict(
+    out['scale_log_growth'] = dict(
         torch=growth_slope([r['scale_mean'] for r in torch_tr]),
         jax0=growth_slope([r['scale_mean'] for r in jax0_tr]),
         jax1=growth_slope([r['scale_mean'] for r in jax1_tr]))
-    s = out['scale_growth_slope']
-    both_grow = s['torch'] > 0 and s['jax0'] > 0
+    s = out['scale_log_growth']
+    both_grow = s['torch'] > 0.15 and s['jax0'] > 0.15
     tracks = all(v['gap_over_envelope'] < 4.0 for v in
                  (out['loss_mc'], out['loss_rot']))
     out['verdict'] = (
