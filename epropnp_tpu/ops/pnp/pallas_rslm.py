@@ -57,8 +57,51 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_lm import _chol_solve, _evaluate, _pose_add
 
 
-def _uniform(shape):
-    bits = pltpu.prng_random_bits(shape)
+# Flip to True (tests) to run the kernel in interpret mode on CPU: the
+# pallas_calls interpret and the on-chip PRNG is replaced by a software
+# counter-hash PRNG (murmur3 finalizer over iota ^ seed ^ trace-time salt)
+# built from plain uint32 ops, so the full sampling/refinement/scoring
+# logic is exercised in CPU CI. Draws differ from the hardware PRNG —
+# tests assert distributional quality, not bitwise parity.
+INTERPRET = False
+
+
+class _SoftPRNG:
+    """Trace-time state for the interpret-mode PRNG stub."""
+    seed = None   # traced uint32, set by _prng_seed
+    salt = 0      # python counter: a unique constant per _uniform call site
+
+
+_soft = _SoftPRNG()
+
+
+def _prng_seed(val):
+    if INTERPRET:
+        _soft.seed = jax.lax.convert_element_type(val, jnp.uint32)
+        _soft.salt = 0
+    else:
+        pltpu.prng_seed(val)
+
+
+def _uniform(shape, extra=None):
+    """Uniform [0, 1) draws; ``extra`` is a traced per-iteration salt for
+    draws inside rolled loops (ignored on hardware — the on-chip PRNG is
+    stateful across loop iterations, the software stub is not)."""
+    if INTERPRET:
+        _soft.salt += 1
+        i0 = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        i1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        x = i0 * jnp.uint32(shape[1]) + i1
+        x = x ^ (_soft.seed * jnp.uint32(0x9E3779B9))
+        x = x ^ jnp.uint32((_soft.salt * 0x85EBCA6B) & 0xFFFFFFFF)
+        if extra is not None:
+            x = x ^ (jax.lax.convert_element_type(extra, jnp.uint32)
+                     * jnp.uint32(0xC2B2AE35))
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+        x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+        bits = x ^ (x >> jnp.uint32(16))
+    else:
+        bits = pltpu.prng_random_bits(shape)
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * (2.0 ** -24)
 
 
@@ -80,7 +123,7 @@ def _make_kernel(dof, num_points, num_proposals, num_iter, n_full, z_min,
 
     def _one_object(obj, seed_ref, x3d_ref, x2d_ref, w2d_ref, cam_ref,
                     delta_ref, pose_out_ref, cost_out_ref):
-        pltpu.prng_seed(seed_ref[pl.program_id(0) * tile_obj + obj])
+        _prng_seed(seed_ref[pl.program_id(0) * tile_obj + obj])
         x_f = x3d_ref[obj, 0:1]
         y_f = x3d_ref[obj, 1:2]
         z_f = x3d_ref[obj, 2:3]
@@ -376,7 +419,7 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
                     == 127).astype(jnp.float32)
         totals = mm(cb_m, last_sel)                      # (mg, 1)
 
-        pltpu.prng_seed(seed_ref[pl.program_id(0) * mg])
+        _prng_seed(seed_ref[pl.program_id(0) * mg])
         rc = chunk_p * m * k
         bi_c = jax.lax.broadcasted_iota(jnp.int32, (rc, mg), 0)
         bj_c = jax.lax.broadcasted_iota(jnp.int32, (rc, mg), 1)
@@ -406,7 +449,7 @@ def _make_packed_kernel(dof, num_points, num_proposals, num_iter, n_full,
 
             def chunk_body(ci, _, blk_ind=blk_ind, ownmask=ownmask,
                            rep8=rep8, rows_cat=rows_cat, gi=gi):
-                u = _uniform((rc, 1)) * mm(blk_ind, totals)
+                u = _uniform((rc, 1), extra=ci) * mm(blk_ind, totals)
                 cb_r = mm(blk_ind, cb_m)                 # (rc, 128)
                 cbl_r = mm(blk_ind, cbl_m)
                 coarse = ((u >= cbl_r) & (u < cb_r)).astype(jnp.float32)
@@ -772,6 +815,7 @@ def _rslm_init_packed(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds, dof,
             # the chunked sampling stage peaks above the default 16 MB
             # scoped-vmem budget; v5e has 128 MB of physical VMEM
             vmem_limit_bytes=(64 if gp == 1 else 100) * 1024 * 1024),
+        interpret=INTERPRET,
     )(seeds, x3d_t, x2d_t, w2d_t, cam_fxfycxcy, delta2,
       *([] if bounds is None else [bounds]), *score_in,
       cb, cbl, csum_cat, lo_cat, rows_cat)
@@ -881,5 +925,6 @@ def rslm_init_pallas(x3d, x2d, w2d, cam_fxfycxcy, delta, seeds,
             jax.ShapeDtypeStruct((b, 1, pose_dim), x3d.dtype),
             jax.ShapeDtypeStruct((b, 1, 1), x3d.dtype),
         ],
+        interpret=INTERPRET,
     )(seeds, x3d_t, x2d_t, w2d_t, cam_r, delta_r)
     return pose[:, 0], cost[:, 0, 0]

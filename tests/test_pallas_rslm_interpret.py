@@ -28,13 +28,19 @@ from test_core_parity import make_problem
 def _stub_uniform_factory():
     state = {'calls': 0}
 
-    def stub(shape):
+    def stub(shape, extra=None):
         state['calls'] += 1
         c = state['calls']
         r = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
         col = jax.lax.broadcasted_iota(jnp.float32, shape, len(shape) - 1)
         flat = r * shape[-1] + col
-        return jnp.mod(flat * 0.6180339887 + 0.331 * c, 1.0)
+        u = jnp.mod(flat * 0.6180339887 + 0.331 * c, 1.0)
+        if extra is not None:
+            # per-loop-iteration salt (chunked sampling in the packed
+            # kernel); keep draws distinct across chunks
+            u = jnp.mod(
+                u + 0.2716 * jnp.asarray(extra, jnp.float32), 1.0)
+        return u
 
     return stub
 
@@ -45,7 +51,8 @@ def interpret_kernel(monkeypatch):
     orig = pk.pl.pallas_call
     monkeypatch.setattr(
         pk.pl, 'pallas_call',
-        lambda *a, **k: orig(*a, interpret=pltpu.InterpretParams(), **k))
+        lambda *a, **k: orig(
+            *a, **{**k, 'interpret': pltpu.InterpretParams()}))
     monkeypatch.setattr(pk, '_uniform', _stub_uniform_factory())
 
 
