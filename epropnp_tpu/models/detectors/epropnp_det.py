@@ -53,22 +53,35 @@ class EProPnPDet(nn.Module):
 
     def setup(self):
         bdt = self.backbone_dtype or self.dtype
+        # Root the pyramid at the configured finest stride, as the
+        # reference configs do: the v1 family (strides from 4) takes
+        # C2..C5 (configs/epropnp_det_basic.py out_indices=(0,1,2,3)),
+        # the v1b family (strides from 8) takes C3..C5 only
+        # (configs/epropnp_det_v1b_220411.py out_indices=(1,2,3)) — a
+        # C2-rooted pyramid would mislabel every FCOS/dense stride by 2x
+        # and quadruple the level-0 tower compute.
+        first_stage = {4: 1, 8: 2}[self.strides[0]]
         self.backbone = ResNetBackbone(
-            depth=self.backbone_depth, out_indices=(1, 2, 3, 4),
+            depth=self.backbone_depth,
+            out_indices=tuple(range(first_stage, 5)),
             dcn_stages=self.backbone_dcn_stages, dtype=bdt)
         spec_mult = 1 if self.backbone_depth in (18, 34) else 4
-        in_ch = tuple(c * spec_mult for c in (64, 128, 256, 512))
+        in_ch = tuple(c * spec_mult
+                      for c in (64, 128, 256, 512)[first_stage - 1:])
         num_levels = len(self.strides)
         self.neck = FPN(in_channels=in_ch, out_channels=self.embed_dims,
                         num_outs=num_levels, dtype=bdt)
-        det_lvl_lo = 1 if self.strides[0] * 2 == self.strides[1] and \
-            len(self.strides) == 6 else 0
+        # FCOS runs on strides 8..; the dense stage on strides ..32
+        # (reference det_lvl_range=(1,6)/(0,5), dense_lvl_range=(0,4)/(0,3)
+        # for the v1/v1b families respectively)
+        det_lvl_lo = self.strides.index(8)
+        dense_lvl_hi = self.strides.index(32) + 1
         self.head = DeformPnPHead(
             num_classes=self.num_classes,
             in_channels=self.embed_dims,
             strides=self.strides,
             output_stride=self.output_stride,
-            dense_lvl_range=(0, 4),
+            dense_lvl_range=(0, dense_lvl_hi),
             det_lvl_range=(det_lvl_lo, num_levels),
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,

@@ -59,7 +59,9 @@ def tiny_model(cfg):
             feat_channels=32, emb_channels=cfg.embed_dims,
             cls_branch=(32,), centerness_branch=(16,), offset_branch=(32,),
             emb_branch=(32,),
-            regress_ranges=((-1, 16), (16, 32), (32, 64), (64, 1e8))))
+            # FCOS runs on strides 8..32 (detector derives
+            # det_lvl_range from strides like the reference configs)
+            regress_ranges=((-1, 16), (16, 32), (32, 1e8))))
 
 
 def make_batch(seed=0, n_img=2):

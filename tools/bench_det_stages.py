@@ -77,6 +77,11 @@ def main():
     ap.add_argument('--bf16-dense', action='store_true',
                     help='head dense stage (FCOS towers + key/value) bf16')
     ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--split-dense', action='store_true',
+                    help='sub-attribute det_dense (backbone/fpn/fcos/'
+                         'corr) + XLA-cost-analysis MFU')
+    ap.add_argument('--peak-tflops', type=float, default=197.0,
+                    help='chip peak for MFU (v5e bf16=197, f32~98)')
     args = ap.parse_args()
 
     import dataclasses
@@ -175,6 +180,51 @@ def main():
     print(f'devices={jax.devices()}  shape={bs}x{h}x{w}  '
           f'bf16={args.bf16} pallas={args.pallas}')
     it = args.iters
+
+    if args.split_dense:
+        # Fine-grained attribution of the det_dense stage + MFU estimate.
+        def backbone_fn(m, img):
+            return m.backbone(img, train=False)
+
+        def feat_fn(m, img):
+            return m.extract_feat(img, train=False)
+
+        def fcos_fn(m, feats):
+            lo, hi = m.head.det_lvl_range
+            return m.head.detector(feats[lo:hi])
+
+        def head_dense_fn(m, feats):
+            return m.head.forward_det_dense(feats, img_shape)
+
+        jfn = lambda f: jax.jit(  # noqa: E731
+            lambda variables, x: model.apply(variables, x, method=f))
+        feats, tf = timed(jfn(feat_fn), (variables, img), it,
+                          'backbone+fpn')
+        _, tb = timed(jfn(backbone_fn), (variables, img), it, 'backbone')
+        print(f'{"fpn":>12}: {(tf - tb) * 1e3:8.2f} ms (derived)')
+        _, tfc = timed(jfn(fcos_fn), (variables, feats), it, 'fcos_towers')
+        _, thd = timed(jfn(head_dense_fn), (variables, feats), it,
+                       'head_dense')
+        print(f'{"corr+kv":>12}: {(thd - tfc) * 1e3:8.2f} ms (derived)')
+        # FLOP estimates from XLA cost analysis -> MFU per sub-stage
+        peak = args.peak_tflops * 1e12
+        for name, f, x, dt in (('backbone+fpn', feat_fn, img, tf),
+                               ('fcos_towers', fcos_fn, feats, tfc),
+                               ('head_dense', head_dense_fn, feats, thd)):
+            try:
+                lowered = jax.jit(
+                    lambda variables, x, _f=f: model.apply(
+                        variables, x, method=_f)).lower(variables, x)
+                ca = lowered.compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get('flops', float('nan')))
+                mfu = flops / dt / peak
+                print(f'{name:>12}: {flops / 1e9:8.1f} GFLOP  '
+                      f'MFU {mfu * 100:5.1f}% (peak {args.peak_tflops} '
+                      f'TFLOP/s)')
+            except Exception as e:  # noqa: BLE001
+                print(f'{name:>12}: cost_analysis unavailable ({e})')
+
     (det_outs, key, value), t1 = timed(
         f_dense, (variables, img), it, 'det_dense')
     preds, t2 = timed(f_preds, (variables, det_outs), it, 'get_preds')

@@ -69,7 +69,7 @@ def build_model(cfg: DetConfig) -> EProPnPDet:
         detector_cfg=dict(
             feat_channels=64, emb_channels=cfg.embed_dims, cls_branch=(64,),
             centerness_branch=(32,), offset_branch=(64,), emb_branch=(64,),
-            regress_ranges=((-1, 24), (24, 48), (48, 96), (96, 1e8))))
+            regress_ranges=((-1, 24), (24, 48), (48, 1e8))))
 
 
 def scenes_to_batch(gen: SyntheticDetSceneGenerator, stacked) -> dtrain.DetBatch:
@@ -145,6 +145,53 @@ def evaluate(results_3d, gt_scenes, iou_thr: float = 0.25,
         maoe=float(np.mean(aoe)) if aoe else float('nan'))
 
 
+SYN_CLASSES = tuple(f'c{i}' for i in range(NCLS))
+
+
+def _box_dict(l, h, w, x, y, z, ry, cls_id, score=None):
+    """Camera-frame box -> devkit-style dict (pseudo-global frame:
+    ground plane = camera (x, z), up = -y; yaw about the up axis)."""
+    d = dict(
+        translation=(float(x), float(z), float(-y)),
+        size=(float(w), float(l), float(h)),
+        rotation=(float(np.cos(ry / 2)), 0.0, 0.0, float(np.sin(ry / 2))),
+        velocity=(0.0, 0.0),
+        # constant attribute: the synthetic fixture does not model
+        # attributes, so pin AAE = 0 rather than the all-NaN -> 1.0
+        # devkit convention (which would cap NDS at 0.9 forever)
+        attribute_name='syn.static',
+        detection_name=SYN_CLASSES[int(cls_id)])
+    if score is not None:
+        d['detection_score'] = float(score)
+    return d
+
+
+def evaluate_nds(results_3d, gt_scenes, score_thr: float = 0.05):
+    """Score the synthetic eval set with the devkit-free nuScenes
+    metrics (det/nuscenes_eval.py): center-distance mAP over
+    {0.5, 1, 2, 4} m + TP errors -> NDS. The VERDICT-r1 request: tie the
+    Det training recipe to an NDS-style number without real data."""
+    from epropnp_tpu.det.nuscenes_eval import evaluate_detection
+
+    gt_frames, pred_frames = {}, {}
+    for i in range(gt_scenes.img.shape[0]):
+        token = f'img{i}'
+        gts = []
+        for g in np.flatnonzero(gt_scenes.gt_mask[i]):
+            gts.append(_box_dict(*gt_scenes.gt_bboxes_3d[i][g],
+                                 cls_id=gt_scenes.gt_labels[i][g]))
+        preds = []
+        for c in range(NCLS):
+            det = results_3d[i][c]
+            if not det.size:
+                continue
+            for row in det[det[:, 7] >= score_thr]:
+                preds.append(_box_dict(*row[:7], cls_id=c, score=row[7]))
+        gt_frames[token] = gts
+        pred_frames[token] = preds
+    return evaluate_detection(pred_frames, gt_frames, classes=SYN_CLASSES)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=600)
@@ -195,7 +242,11 @@ def main():
                     eval_batch.img_dense_x2d_mask,
                     jax.random.PRNGKey(123))
         _, res3d = results_to_numpy(res, args.eval_scenes, NCLS)
-        return evaluate(res3d, eval_scenes, iou_thr=args.iou_thr)
+        m = evaluate(res3d, eval_scenes, iou_thr=args.iou_thr)
+        nds = evaluate_nds(res3d, eval_scenes)
+        m['nds'] = float(nds['nd_score'])
+        m['map'] = float(nds['mean_ap'])
+        return m
 
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
@@ -215,8 +266,9 @@ def main():
                   f'ate={float(l["ate"]):.2f} | eval '
                   f'recall={m["recall"]:.3f} prec={m["precision"]:.3f} '
                   f'mATE={m["mate"]:.3f} mASE={m["mase"]:.3f} '
-                  f'mAOE={m["maoe"]:.3f}', flush=True)
-            score = m['recall'] * max(m['precision'], 1e-6)
+                  f'mAOE={m["maoe"]:.3f} NDS={m["nds"]:.3f} '
+                  f'mAP={m["map"]:.3f}', flush=True)
+            score = m['nds']
             if best is None or score > best[0]:
                 best = (score, i + 1, m)
     dt = time.time() - t0
@@ -224,7 +276,8 @@ def main():
     print(f'train: {dt:.1f}s for {steps_timed} steps '
           f'({dt / max(steps_timed, 1) * 1e3:.1f} ms/step)')
     _, best_step, m = best
-    print(f'BEST @ step {best_step}: recall={m["recall"]:.3f} '
+    print(f'BEST @ step {best_step}: NDS={m["nds"]:.3f} mAP={m["map"]:.3f} '
+          f'recall={m["recall"]:.3f} '
           f'precision={m["precision"]:.3f} mATE={m["mate"]:.3f} '
           f'mASE={m["mase"]:.3f} mAOE={m["maoe"]:.3f} '
           f'({m["n_tp"]}/{m["n_gt"]} GT matched @ IoU {args.iou_thr})')
