@@ -10,6 +10,20 @@ Reference behavior: tjiiv-cprg/EPro-PnP (see SURVEY.md for file:line map).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# The TPU plugin in this image force-registers itself ahead of the
+# JAX_PLATFORMS env var; honor an explicit CPU request (tests, tools,
+# the driver's virtual-device dry run) by updating the config before
+# backends initialize. No-op when backends are already live.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
 from .ops.pnp import (  # noqa: F401
     PerspectiveCamera,
     HuberPnPCost,

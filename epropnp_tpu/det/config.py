@@ -82,6 +82,13 @@ class DetConfig:
     # incl. their DCN last convs + dense key/value convs) in bfloat16;
     # scores/centers/key/value are cast back to float32. Opt-in.
     bf16_dense: bool = False
+    # Rematerialize the dense forward (backbone + FPN + FCOS towers +
+    # dense key/value) in the training backward pass (jax.checkpoint):
+    # trades one extra dense forward for dropping its activations from
+    # HBM — the lever that fits the reference's published 6 img/device
+    # training batch (configs/epropnp_det_v1b_220411.py, 2 GPU x 6 img)
+    # on a single 16G chip. Opt-in.
+    remat_dense: bool = False
     pnp: DetPnPConfig = dataclasses.field(default_factory=DetPnPConfig)
     loss: DetLossWeights = dataclasses.field(default_factory=DetLossWeights)
     train: DetTrainConfig = dataclasses.field(default_factory=DetTrainConfig)

@@ -124,9 +124,18 @@ def compute_losses(model, cfg: DetConfig, params, batch_stats,
 
     # ---- network dense forward ----
     img_shape = (batch.img.shape[1], batch.img.shape[2])
-    (det_outs, key, value), new_model_state = model.apply(
-        variables, batch.img, img_shape, train=True,
-        method=model.det_dense, mutable=['batch_stats'])
+
+    def dense_fwd(variables, img):
+        return model.apply(variables, img, img_shape, train=True,
+                           method=model.det_dense, mutable=['batch_stats'])
+
+    if cfg.remat_dense:
+        # recompute the dense activations in the backward pass instead of
+        # keeping them in HBM (full-image activations dominate the train
+        # footprint; see DetConfig.remat_dense)
+        dense_fwd = jax.checkpoint(dense_fwd)
+    (det_outs, key, value), new_model_state = dense_fwd(
+        variables, batch.img)
     # bound copy exposes submodules for their pure (param-free) math
     detector = model.bind(variables).head.detector
 

@@ -21,6 +21,11 @@ class NetworkConfig:
     trans_head_freeze: bool = False
     # Mixed precision: backbone convs in bfloat16, heads/PnP in float32.
     bf16_backbone: bool = False
+    # Rematerialize the CDPN forward in the training backward pass
+    # (jax.checkpoint): drops the backbone/head activations from HBM at
+    # the cost of one extra forward — the memory lever for large batch
+    # or high-res training on a single chip. Opt-in.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

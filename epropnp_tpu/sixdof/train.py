@@ -198,9 +198,16 @@ def compute_losses(model: CDPN, epropnp: EProPnP6DoF, cfg: SixDoFConfig,
                    axis_name: Optional[str] = None):
     """Forward + all 6DoF losses. Returns (loss, aux dict)."""
     k_sample, k_mc = jax.random.split(rng)
-    outs, new_model_state = model.apply(
-        {'params': params, 'batch_stats': batch_stats}, batch.inp,
-        train=True, mutable=['batch_stats'])
+
+    def fwd(variables, inp):
+        return model.apply(variables, inp, train=True,
+                           mutable=['batch_stats'])
+
+    if cfg.network.remat:
+        # recompute CDPN activations in backward (NetworkConfig.remat)
+        fwd = jax.checkpoint(fwd)
+    outs, new_model_state = fwd(
+        {'params': params, 'batch_stats': batch_stats}, batch.inp)
     bs = batch.inp.shape[0]
     out_res = cfg.dataiter.out_res
 

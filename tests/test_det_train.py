@@ -141,3 +141,32 @@ def test_det_train_step_end_to_end():
     assert float(new_state.ema.pose_norm_factor[0].norm_factor) != 1.0
     assert float(new_state.ema.proj_mean_inv_std) != 1.0
     assert int(new_state.step) == 1
+
+
+def test_det_train_step_remat_matches_plain():
+    """remat_dense (jax.checkpoint over the dense forward) must be a pure
+    memory/compute trade: losses and the updated parameters are bitwise-
+    comparable to the plain step at f32 tolerance."""
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    batch = make_batch(seed=3)
+    variables = model.init(jax.random.PRNGKey(0), batch.img, (H, W))
+    tx = dtrain.make_optimizer(cfg)
+    state = dtrain.DetTrainState.create(variables, tx)
+
+    outs = {}
+    for name, c in (('plain', cfg),
+                    ('remat', dataclasses.replace(cfg, remat_dense=True))):
+        step = jax.jit(dtrain.make_train_step(model, c, tx))
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        outs[name] = (jax.device_get(losses),
+                      jax.device_get(new_state.params))
+    for k, a in outs['plain'][0].items():
+        b = outs['remat'][0][k]
+        # grad_norm sums squares over every leaf — checkpoint recompute
+        # reorders fusions, so it wobbles at f32 lsb scale
+        rtol = 1e-2 if k == 'grad_norm' else 1e-5
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=1e-6, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
+        outs['plain'][1], outs['remat'][1])

@@ -154,3 +154,36 @@ def test_optimizer_grad_clipping_bounds_spikes():
     small = jax.tree_util.tree_map(lambda a: a * 1e-3, params)
     upd2, _ = tx.update(small, st2, params)
     assert float(optax.global_norm(upd2)) > 1e-8
+
+
+def test_train_step_remat_matches_plain():
+    """NetworkConfig.remat (jax.checkpoint over the CDPN forward) is a
+    pure memory/compute trade: metrics and updated params match the
+    plain step at f32 tolerance."""
+    base = tiny_cfg()
+    model = CDPN(depth=18)
+    epropnp = train_lib.build_epropnp(base)
+    batch = make_batch(0, bs=2, inp_res=64, out_res=16)
+    variables = model.init(jax.random.PRNGKey(0), batch.inp, train=False)
+    tx = train_lib.make_optimizer(base)
+    state = train_lib.TrainState.create(variables, tx)
+
+    outs = {}
+    for name, cfg in (
+            ('plain', base),
+            ('remat', dataclasses.replace(
+                base, network=dataclasses.replace(base.network,
+                                                  remat=True)))):
+        step_fn = jax.jit(
+            train_lib.make_train_step(model, epropnp, cfg, tx, K))
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        outs[name] = (jax.device_get(metrics),
+                      jax.device_get(new_state.params))
+    for k, a in outs['plain'][0].items():
+        # grad_norm wobbles at f32 lsb scale under checkpoint recompute
+        rtol = 1e-2 if 'grad_norm' in k else 1e-5
+        np.testing.assert_allclose(a, outs['remat'][0][k], rtol=rtol,
+                                   atol=1e-6, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
+        outs['plain'][1], outs['remat'][1])
