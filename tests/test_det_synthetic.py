@@ -8,6 +8,7 @@ appearance encoding.
 """
 
 import numpy as np
+import pytest
 
 from epropnp_tpu.det.synthetic import SyntheticDetSceneGenerator, _yaw_rot
 
@@ -95,3 +96,24 @@ def test_batch_stacking_shapes():
     assert gen.dense_x2d(2).shape == (2, 64, 96, 2)
     # dense map is pixel centers
     assert gen.dense_x2d(1)[0, 0, 0].tolist() == [0.5, 0.5]
+
+
+@pytest.mark.slow
+def test_det_synthetic_convergence_floor():
+    """Short run of the Det convergence study (tools/validate_det_synthetic
+    .run_study): training the full stack from scratch on synthetic scenes
+    must clear an NDS floor on held-out scenes — ties the training recipe
+    to the devkit-free nuScenes metrics (VERDICT-r1 item 9). The floor is
+    ~40% of what the same seed reaches at this step count (see STATUS.md
+    round-2 curve), so it trips on recipe regressions, not run-to-run
+    noise."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), 'tools'))
+    import validate_det_synthetic as vds
+
+    out = vds.run_study(steps=300, bs=2, pool=24, eval_scenes=8,
+                        eval_every=100, seed=0, log=lambda *a: None)
+    assert out['nds'] >= 0.15, out
+    assert out['recall'] > 0.2, out

@@ -192,41 +192,36 @@ def evaluate_nds(results_3d, gt_scenes, score_thr: float = 0.05):
     return evaluate_detection(pred_frames, gt_frames, classes=SYN_CLASSES)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--steps', type=int, default=600)
-    ap.add_argument('--bs', type=int, default=4)
-    ap.add_argument('--pool', type=int, default=64,
-                    help='device-resident scene-pool size (batches)')
-    ap.add_argument('--eval-scenes', type=int, default=16)
-    ap.add_argument('--eval-every', type=int, default=100)
-    ap.add_argument('--seed', type=int, default=0)
-    ap.add_argument('--iou-thr', type=float, default=0.25)
-    ap.add_argument('--pallas', action='store_true')
-    ap.add_argument('--json-out', type=str, default='')
-    args = ap.parse_args()
+def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
+              seed=0, iou_thr=0.25, pallas=False, log=print):
+    """Train the small-but-real Det stack on ``pool * bs`` synthetic
+    scenes and score held-out scenes with the devkit-free nuScenes
+    metrics after every ``eval_every`` steps.
 
-    cfg = small_cfg(args.pallas)
+    Returns ``{'curve': [(step, metrics), ...], 'best_step', 'ms_per_step',
+    **best_metrics}`` — shared by the CLI convergence study and the slow
+    floor-asserting test (tests/test_det_synthetic.py)."""
+    cfg = small_cfg(pallas)
     model = build_model(cfg)
     gen = SyntheticDetSceneGenerator(im_hw=IM_HW, num_classes=NCLS,
                                      max_gt=GMAX, lidar_points=PTS)
-    rng_np = np.random.default_rng(args.seed)
+    rng_np = np.random.default_rng(seed)
 
-    print(f'devices={jax.devices()}')
+    log(f'devices={jax.devices()}')
     t0 = time.time()
     # device-resident training pool (regenerated scenes would bottleneck on
     # the host; the pool is large enough that the model cannot memorize it
     # before convergence) + a held-out eval set from a disjoint stream
-    pool = [scenes_to_batch(gen, gen.sample_batch(rng_np, args.bs))
-            for _ in range(args.pool)]
-    eval_rng = np.random.default_rng(args.seed + 10_000)
-    eval_scenes = gen.sample_batch(eval_rng, args.eval_scenes)
-    eval_batch = scenes_to_batch(gen, eval_scenes)
-    print(f'scene generation: {time.time() - t0:.1f}s '
-          f'({args.pool}x{args.bs} train + {args.eval_scenes} eval)')
+    pool_batches = [scenes_to_batch(gen, gen.sample_batch(rng_np, bs))
+                    for _ in range(pool)]
+    eval_rng = np.random.default_rng(seed + 10_000)
+    eval_sc = gen.sample_batch(eval_rng, eval_scenes)
+    eval_batch = scenes_to_batch(gen, eval_sc)
+    log(f'scene generation: {time.time() - t0:.1f}s '
+        f'({pool}x{bs} train + {eval_scenes} eval)')
 
-    variables = model.init(jax.random.PRNGKey(args.seed),
-                           pool[0].img[:1], IM_HW)
+    variables = model.init(jax.random.PRNGKey(seed),
+                           pool_batches[0].img[:1], IM_HW)
     tx = dtrain.make_optimizer(cfg)
     state = dtrain.DetTrainState.create(variables, tx)
     step = jax.jit(dtrain.make_train_step(model, cfg, tx))
@@ -241,49 +236,73 @@ def main():
                     eval_batch.img_flips, eval_batch.img_dense_x2d,
                     eval_batch.img_dense_x2d_mask,
                     jax.random.PRNGKey(123))
-        _, res3d = results_to_numpy(res, args.eval_scenes, NCLS)
-        m = evaluate(res3d, eval_scenes, iou_thr=args.iou_thr)
-        nds = evaluate_nds(res3d, eval_scenes)
+        _, res3d = results_to_numpy(res, eval_scenes, NCLS)
+        m = evaluate(res3d, eval_sc, iou_thr=iou_thr)
+        nds = evaluate_nds(res3d, eval_sc)
         m['nds'] = float(nds['nd_score'])
         m['map'] = float(nds['mean_ap'])
         return m
 
-    key = jax.random.PRNGKey(args.seed + 1)
+    key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
-    best = None
-    for i in range(args.steps):
+    best, curve, t_base = None, [], 0
+    for i in range(steps):
         key, sub = jax.random.split(key)
-        state, losses = step(state, pool[i % args.pool], sub)
+        state, losses = step(state, pool_batches[i % pool], sub)
         if i == 0:
             jax.block_until_ready(losses)
-            print(f'first step (incl. compile): {time.time() - t0:.1f}s')
+            log(f'first step (incl. compile): {time.time() - t0:.1f}s')
             t0, t_base = time.time(), 1
-        if (i + 1) % args.eval_every == 0 or i + 1 == args.steps:
+        if (i + 1) % eval_every == 0 or i + 1 == steps:
             l = jax.device_get(losses)
             m = run_eval(state)
-            print(f'step {i + 1:5d}  loss_cls={float(l["loss_cls"]):.3f} '
-                  f'loss_pose_0={float(l["loss_pose_0"]):.3f} '
-                  f'ate={float(l["ate"]):.2f} | eval '
-                  f'recall={m["recall"]:.3f} prec={m["precision"]:.3f} '
-                  f'mATE={m["mate"]:.3f} mASE={m["mase"]:.3f} '
-                  f'mAOE={m["maoe"]:.3f} NDS={m["nds"]:.3f} '
-                  f'mAP={m["map"]:.3f}', flush=True)
-            score = m['nds']
-            if best is None or score > best[0]:
-                best = (score, i + 1, m)
+            log(f'step {i + 1:5d}  loss_cls={float(l["loss_cls"]):.3f} '
+                f'loss_pose_0={float(l["loss_pose_0"]):.3f} '
+                f'ate={float(l["ate"]):.2f} | eval '
+                f'recall={m["recall"]:.3f} prec={m["precision"]:.3f} '
+                f'mATE={m["mate"]:.3f} mASE={m["mase"]:.3f} '
+                f'mAOE={m["maoe"]:.3f} NDS={m["nds"]:.3f} '
+                f'mAP={m["map"]:.3f}')
+            curve.append((i + 1, m))
+            if best is None or m['nds'] > best[0]:
+                best = (m['nds'], i + 1, m)
     dt = time.time() - t0
-    steps_timed = args.steps - t_base
-    print(f'train: {dt:.1f}s for {steps_timed} steps '
-          f'({dt / max(steps_timed, 1) * 1e3:.1f} ms/step)')
+    steps_timed = steps - t_base
+    ms_per_step = dt / max(steps_timed, 1) * 1e3
+    log(f'train: {dt:.1f}s for {steps_timed} steps '
+        f'({ms_per_step:.1f} ms/step)')
     _, best_step, m = best
-    print(f'BEST @ step {best_step}: NDS={m["nds"]:.3f} mAP={m["map"]:.3f} '
-          f'recall={m["recall"]:.3f} '
-          f'precision={m["precision"]:.3f} mATE={m["mate"]:.3f} '
-          f'mASE={m["mase"]:.3f} mAOE={m["maoe"]:.3f} '
-          f'({m["n_tp"]}/{m["n_gt"]} GT matched @ IoU {args.iou_thr})')
+    log(f'BEST @ step {best_step}: NDS={m["nds"]:.3f} mAP={m["map"]:.3f} '
+        f'recall={m["recall"]:.3f} '
+        f'precision={m["precision"]:.3f} mATE={m["mate"]:.3f} '
+        f'mASE={m["mase"]:.3f} mAOE={m["maoe"]:.3f} '
+        f'({m["n_tp"]}/{m["n_gt"]} GT matched @ IoU {iou_thr})')
+    return dict(best_step=best_step, ms_per_step=ms_per_step,
+                curve=curve, **m)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=600)
+    ap.add_argument('--bs', type=int, default=4)
+    ap.add_argument('--pool', type=int, default=64,
+                    help='device-resident scene-pool size (batches)')
+    ap.add_argument('--eval-scenes', type=int, default=16)
+    ap.add_argument('--eval-every', type=int, default=100)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--iou-thr', type=float, default=0.25)
+    ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--json-out', type=str, default='')
+    args = ap.parse_args()
+
+    out = run_study(steps=args.steps, bs=args.bs, pool=args.pool,
+                    eval_scenes=args.eval_scenes,
+                    eval_every=args.eval_every, seed=args.seed,
+                    iou_thr=args.iou_thr, pallas=args.pallas,
+                    log=lambda *a: print(*a, flush=True))
     if args.json_out:
         with open(args.json_out, 'w') as f:
-            json.dump({'best_step': best_step, **m}, f)
+            json.dump(out, f)
 
 
 if __name__ == '__main__':
