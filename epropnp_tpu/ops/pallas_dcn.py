@@ -163,8 +163,69 @@ def _fwd(packed_flat, rows, w4, kern, interpret):
         (packed_flat, rows, w4, kern)
 
 
+# Backward row-chunk size: above this L the backward streams the patch
+# table in chunks instead of materializing (taps, L, 4, c) whole — at v1b
+# train shapes that tensor is 4.6 GiB per DCN (f32, L=134400, c=256) and
+# dominates the train-step HBM peak (see tools/mem_envelope_det.py).
+BWD_CHUNK_ROWS = 8192
+
+
+def _bwd_chunked(packed_flat, rows, w4, kern, ct):
+    """Manual gradients of ``_ref_contract``, streamed over L-chunks.
+
+    A ``lax.scan`` re-gathers one (taps, Lc, 4, c) patch block at a time
+    and scatter-accumulates ``d_packed`` into the carry, so the peak
+    temp is ~L/Lc times smaller than the whole-table ``jax.vjp`` path.
+    Gradient math (all in f32, cast to input dtypes at the end):
+      d_s = ct @ kern^T          d_kern += s^T @ ct
+      d_w4 = <g, d_s>            d_packed[rows] += w4 * d_s
+    """
+    taps, length = rows.shape
+    c4 = packed_flat.shape[-1]
+    c = c4 // 4
+    cout = kern.shape[-1]
+    lc = BWD_CHUNK_ROWS
+    n_chunks = -(-length // lc)
+    pad = n_chunks * lc - length
+    # zero-cotangent padding rows contribute nothing to any gradient
+    rows_p = jnp.pad(rows, ((0, 0), (0, pad)))
+    w4_p = jnp.pad(w4, ((0, 0), (0, pad), (0, 0)))
+    ct_p = jnp.pad(ct, ((0, pad), (0, 0)))
+    rows_x = rows_p.reshape(taps, n_chunks, lc).transpose(1, 0, 2)
+    w4_x = w4_p.reshape(taps, n_chunks, lc, 4).transpose(1, 0, 2, 3)
+    ct_x = ct_p.reshape(n_chunks, lc, cout)
+    kern_f = kern.astype(jnp.float32)
+
+    def step(carry, xs):
+        d_packed, d_kern = carry
+        rows_c, w4_c, ct_c = xs
+        g = packed_flat[rows_c].reshape(taps, lc, 4, c)
+        g_f = g.astype(jnp.float32)
+        w4_f = w4_c.astype(jnp.float32)
+        ct_f = ct_c.astype(jnp.float32)
+        s = jnp.einsum('tljc,tlj->tlc', g_f, w4_f)
+        d_s = jnp.einsum('lo,tco->tlc', ct_f, kern_f)
+        d_kern = d_kern + jnp.einsum('tlc,lo->tco', s, ct_f)
+        d_w4 = jnp.einsum('tljc,tlc->tlj', g_f, d_s)
+        d_g = w4_f[..., None] * d_s[:, :, None, :]
+        d_packed = d_packed.at[rows_c].add(
+            d_g.reshape(taps, lc, c4).astype(d_packed.dtype))
+        return (d_packed, d_kern), d_w4
+
+    init = (jnp.zeros_like(packed_flat),
+            jnp.zeros(kern.shape, jnp.float32))
+    (d_packed, d_kern), d_w4 = jax.lax.scan(
+        step, init, (rows_x, w4_x, ct_x))
+    d_w4 = d_w4.transpose(1, 0, 2, 3).reshape(taps, n_chunks * lc, 4)
+    d_rows = np.zeros(rows.shape, jax.dtypes.float0)  # int input
+    return (d_packed, d_rows, d_w4[:, :length].astype(w4.dtype),
+            d_kern.astype(kern.dtype))
+
+
 def _bwd(interpret, res, ct):
     packed_flat, rows, w4, kern = res
+    if rows.shape[1] > BWD_CHUNK_ROWS:
+        return _bwd_chunked(packed_flat, rows, w4, kern, ct)
     _, vjp = jax.vjp(_ref_contract, packed_flat, rows, w4, kern)
     return vjp(ct)
 

@@ -72,3 +72,28 @@ def test_fused_ragged_block():
     ref = np.asarray(m_ref.apply(vs, x))
     out = np.asarray(m_fused.apply(vs, x))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('length_pad', [0, 37])
+def test_chunked_backward_matches_whole(monkeypatch, length_pad):
+    """The L-chunked streaming backward (pallas_dcn._bwd_chunked) must
+    match the whole-table jax.vjp backward; exercises both the exact-
+    multiple and padded-final-chunk cases via the h/w choice."""
+    h, w = (8, 16) if length_pad == 0 else (9, 13)
+    x = make_input(5, n=1, h=h, w=w, c=16)
+    m = DeformConv(8, fused=True)
+    vs = init_with_random_offsets(m, x, seed=7)
+
+    def loss(vs, x):
+        y = m.apply(vs, x)
+        return jnp.sum(jnp.cos(y))
+
+    g_whole = jax.grad(loss, argnums=(0, 1))(vs, x)
+    monkeypatch.setattr(pallas_dcn, 'BWD_CHUNK_ROWS', 32)
+    g_chunk = jax.grad(loss, argnums=(0, 1))(vs, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_whole),
+                    jax.tree_util.tree_leaves(g_chunk)):
+        # chunked scatter/sum order reorders f32 accumulation; real
+        # math errors show up orders of magnitude above this
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
