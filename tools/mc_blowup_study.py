@@ -168,6 +168,9 @@ def run_torch(cfg, batches, lr: float, seed: int = 0,
               rs_points=16, rs_proposals=4, rs_iter=3, log=print):
     """Faithful reference recipe (lib/train.py:136-243) on the tiny net."""
     import torch
+    # the parity oracles (tests/test_core_parity.py) set the process-wide
+    # torch default dtype to float64; this study is a float32 recipe
+    torch.set_default_dtype(torch.float32)
     from ref_loader import load_reference_epropnp
     ref = load_reference_epropnp()
     assert ref is not None, 'reference/torch unavailable'
