@@ -46,19 +46,39 @@ COCO_RANGE = {
     'Person_sitting': (0.25, 0.7, 10),
 }
 
+# GT of the neighbor class is ignored rather than counted as FP fodder
+# (reference clean_data, kitti_utils/eval.py:49-54)
+NEIGHBOR_CLASSES = {'Car': 'Van', 'Pedestrian': 'Person_sitting'}
+
 
 def _clean(gt: Dict, dt: Dict, cls_name: str, difficulty: int):
-    """Per-image GT/DT filtering -> (gt_care, gt_ignore, dt_care masks)."""
+    """Per-image GT/DT filtering -> (gt_care, gt_ignore, dt_care masks).
+
+    Matches the reference protocol (kitti_utils/eval.py:33-86 clean_data):
+    a GT box of the evaluated class is *valid* (counts toward total_gt)
+    only if occlusion/truncation are within the difficulty limits AND its
+    bbox height exceeds MIN_HEIGHT[difficulty]; GT failing those limits,
+    GT of the neighbor class (Van for Car, Person_sitting for
+    Pedestrian), and 'DontCare' regions are *ignored* — detections
+    absorbed by them are neither TP nor FP.
+    """
     d = DIFFICULTY[difficulty]
     gt_names = np.asarray(gt['name'])
     gt_same = gt_names == cls_name
+    gt_h = gt['bbox'][:, 3] - gt['bbox'][:, 1] if len(gt_names) \
+        else np.zeros(0)
     valid = (gt.get('occluded', np.zeros(len(gt_names)))
              <= d['max_occlusion']) \
         & (gt.get('truncated', np.zeros(len(gt_names)))
-           <= d['max_truncation'])
+           <= d['max_truncation']) \
+        & (gt_h > d['min_height'])
     gt_care = gt_same & valid
-    # ignored: same class but filtered by difficulty, or 'DontCare'
+    # ignored: same class but filtered by difficulty/height, neighbor
+    # class, or 'DontCare'
     gt_ignore = (gt_same & ~valid) | (gt_names == 'DontCare')
+    neighbor = NEIGHBOR_CLASSES.get(cls_name)
+    if neighbor is not None:
+        gt_ignore = gt_ignore | (gt_names == neighbor)
     dt_names = np.asarray(dt['name'])
     dt_h = dt['bbox'][:, 3] - dt['bbox'][:, 1]
     dt_care = (dt_names == cls_name) & (dt_h >= d['min_height'])

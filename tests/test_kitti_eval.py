@@ -175,3 +175,36 @@ def test_difficulty_filtering_small_boxes():
     res = ke.kitti_eval(gt, dt, classes=('Car',), metrics=('3d',))
     assert res['Car_3d_easy'] == 0.0       # no easy GT at all
     assert res['Car_3d_hard'] > 99.0
+
+
+def test_short_gt_ignored_not_counted():
+    """GT with bbox height <= MIN_HEIGHT[difficulty] must be ignored:
+    removed from total_gt AND absorbing its detection as neither TP nor FP
+    (reference clean_data, kitti_utils/eval.py:57-67)."""
+    boxes = [[4., 1.5, 2., 0., 1., 10., 0.1],
+             [4., 1.5, 2., 8., 1., 20., -0.4]]
+    gt = [make_anno(boxes, ['Car', 'Car'])]
+    # second GT too short for every difficulty (height 20 < 25)
+    gt[0]['bbox'][1, 3] = gt[0]['bbox'][1, 1] + 20.0
+    dt = [make_anno(boxes, ['Car', 'Car'], scores=[0.9, 0.8])]
+    res = ke.eval_class(gt[0:1], dt, 'Car', 2, '3d', 0.5)
+    # only 1 valid GT; its detection matches; the short GT's detection is
+    # absorbed (not an FP) -> precision 1 at full recall -> AP 100
+    assert res['ap'] > 99.0
+
+
+def test_neighbor_class_gt_absorbs_detection():
+    """A Car detection on a Van GT is ignored, not a false positive
+    (reference clean_data neighbor-class rule, eval.py:49-54)."""
+    boxes = [[4., 1.5, 2., 0., 1., 10., 0.1],
+             [4., 1.5, 2., 8., 1., 20., -0.4]]
+    gt = [make_anno(boxes, ['Car', 'Van'])]
+    # the Van-overlapping detection scores HIGHER than the true one, so if
+    # it counted as FP it would depress precision at every threshold
+    dt = [make_anno(boxes, ['Car', 'Car'], scores=[0.9, 0.95])]
+    res = ke.eval_class(gt, dt, 'Car', 0, '3d', 0.5)
+    assert res['ap'] > 99.0
+    # sanity: a truly wrong-class GT (Pedestrian) does NOT absorb -> FP
+    gt2 = [make_anno(boxes, ['Car', 'Pedestrian'])]
+    res2 = ke.eval_class(gt2, dt, 'Car', 0, '3d', 0.5)
+    assert res2['ap'] < res['ap']
