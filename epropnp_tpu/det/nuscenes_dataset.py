@@ -281,10 +281,22 @@ class NuScenes3DDataset:
         return len(self.data_infos)
 
     def parse_ann_info(self, info: Dict) -> Dict:
-        """Filter + convert raw annotations. Reference: :154-225."""
+        """Filter + convert raw annotations. Reference: :154-225.
+
+        Velocity is the converter's camera-frame (vx, vz) — the training
+        target (reference ``_parse_ann_info`` feeds it directly). When the
+        converter cached lidar object coordinates (``oc_path``), the kept
+        annotations gain ``x3d``/``x2d`` lists (reference
+        LoadAnnotations3D, pipelines/loading.py:17-78) for ``loss_regr``.
+        """
         gt = dict(bboxes=[], labels=[], attrs=[], velos=[], bboxes_3d=[],
-                  bboxes_ignore=[])
-        for ann in info.get('annotations', []):
+                  truncation=[], bboxes_ignore=[])
+        oc = None
+        if info.get('oc_path') and os.path.exists(info['oc_path']):
+            with open(info['oc_path'], 'rb') as f:
+                oc = pickle.load(f)
+            gt['x3d'], gt['x2d'] = [], []
+        for idx, ann in enumerate(info.get('annotations', [])):
             name = ann['category']
             if name not in CLASSES:
                 continue
@@ -300,6 +312,10 @@ class NuScenes3DDataset:
             gt['labels'].append(CLASSES.index(name))
             gt['attrs'].append(ATTRIBUTES.index(ann.get('attribute', '')))
             gt['velos'].append(ann.get('velocity', [np.nan, np.nan]))
+            gt['truncation'].append(float(ann.get('truncation', 0.0)))
+            if oc is not None:
+                gt['x3d'].append(oc['oc_list'][idx])
+                gt['x2d'].append(oc['uv_list'][idx])
             # nuScenes box (center, wlh, quat in camera frame) -> KITTI row
             rot = quat_to_mat(np.asarray(ann['rotation'], np.float64)) \
                 @ KITTI2NUS_ROT
@@ -308,10 +324,12 @@ class NuScenes3DDataset:
             lhw = wlh[[1, 2, 0]]
             gt['bboxes_3d'].append(
                 np.concatenate([lhw, ann['translation'], [yaw]]))
-        for k in ('bboxes', 'labels', 'attrs', 'velos', 'bboxes_3d'):
+        for k in ('bboxes', 'labels', 'attrs', 'velos', 'bboxes_3d',
+                  'truncation'):
             gt[k] = (np.stack(gt[k]) if gt[k]
                      else np.zeros((0,) + {'bboxes': (4,), 'labels': (),
                                            'attrs': (), 'velos': (2,),
+                                           'truncation': (),
                                            'bboxes_3d': (7,)}[k]))
         return gt
 
@@ -322,7 +340,7 @@ class NuScenes3DDataset:
         nuScenes-native center/wlh/quaternion per camera) through
         sensor->ego->global, dedups objects seen by multiple cameras
         (by ``ann_token`` when the converter recorded it, else by
-        rounded global center + class), and returns
+        same-class nearest-neighbor distance < 0.5 m), and returns
         ``(gt_frames, ego_centers)`` for ``nuscenes_eval``.
 
         Deviation vs the devkit GT (documented): objects visible in NO
@@ -331,35 +349,52 @@ class NuScenes3DDataset:
         """
         gt_frames: Dict[str, List[Dict]] = {}
         ego_centers: Dict[str, List[float]] = {}
-        seen: Dict[str, set] = {}
+        seen_tokens: Dict[str, set] = {}
+        # NN-dedup fallback when ann_token is absent (pre-ann_token
+        # pickles): same-class objects within 0.5 m of an already-seen
+        # global center are duplicates (cross-camera calibration noise is
+        # centimeter-scale; distinct nuScenes objects are never that close)
+        seen_centers: Dict[str, Dict[str, List[np.ndarray]]] = {}
         for info in self.data_infos:
             token = info['sample_token']
             s2e_q = np.asarray(info['sensor2ego_rotation'], np.float64)
             s2e_t = np.asarray(info['sensor2ego_translation'], np.float64)
             e2g_q = np.asarray(info['ego2global_rotation'], np.float64)
             e2g_t = np.asarray(info['ego2global_translation'], np.float64)
+            s2e_m, e2g_m = quat_to_mat(s2e_q), quat_to_mat(e2g_q)
             gt_frames.setdefault(token, [])
             ego_centers.setdefault(token, [float(e2g_t[0]),
                                            float(e2g_t[1])])
-            seen.setdefault(token, set())
+            seen_tokens.setdefault(token, set())
+            seen_centers.setdefault(token, {})
             for ann in info.get('annotations', []):
                 name = ann['category']
                 if name not in CLASSES:
                     continue
                 center = np.asarray(ann['translation'], np.float64)
                 quat = np.asarray(ann['rotation'], np.float64)
-                velo_g = np.asarray(ann.get('velocity', (np.nan, np.nan)),
+                # velocity: converter camera-frame (vx, vz) -> global
+                # (inverse of reference nuscenes_converter.py:364-370)
+                velo_c = np.asarray(ann.get('velocity', (np.nan, np.nan)),
                                     np.float64)
+                velo_g = e2g_m @ (s2e_m
+                                  @ np.array([velo_c[0], 0.0, velo_c[1]]))
                 # camera -> ego -> global
-                center = quat_to_mat(s2e_q) @ center + s2e_t
+                center = s2e_m @ center + s2e_t
                 quat = quat_multiply(s2e_q, quat)
-                center = quat_to_mat(e2g_q) @ center + e2g_t
+                center = e2g_m @ center + e2g_t
                 quat = quat_multiply(e2g_q, quat)
-                key = ann.get('ann_token') or (
-                    name, round(center[0], 1), round(center[1], 1))
-                if key in seen[token]:
-                    continue
-                seen[token].add(key)
+                ann_token = ann.get('ann_token')
+                if ann_token:
+                    if ann_token in seen_tokens[token]:
+                        continue
+                    seen_tokens[token].add(ann_token)
+                else:
+                    peers = seen_centers[token].setdefault(name, [])
+                    if any(np.hypot(c[0] - center[0], c[1] - center[1])
+                           < 0.5 for c in peers):
+                        continue
+                    peers.append(center)
                 gt_frames[token].append(dict(
                     translation=[float(v) for v in center],
                     size=[float(v) for v in ann['size']],

@@ -63,6 +63,7 @@ def convert(root: str, version: str, out_prefix: str,
             boxes = nusc.get_boxes(sd['token'])
             k = np.asarray(cs['camera_intrinsic'])
             anns = []
+            kept_boxes = []  # camera-frame boxes, aligned with anns
             for box in boxes:
                 ann = nusc.get('sample_annotation', box.token)
                 vis = int(ann['visibility_token'])
@@ -88,14 +89,21 @@ def convert(root: str, version: str, out_prefix: str,
                 trunc = 1.0 - (bx2 - bx1) * (by2 - by1) / max(area, 1e-6)
                 attrs = [nusc.get('attribute', t)['name']
                          for t in ann['attribute_tokens']]
-                velo = nusc.box_velocity(box.token)
+                # velocity: global frame -> CAMERA frame, store (vx, vz)
+                # (reference nuscenes_converter.py:364-370: cam_velo3d =
+                # global_velo3d @ inv(e2g_R).T @ inv(c2e_R).T, [0::2])
+                velo_g = nusc.box_velocity(box.token)
+                e2g_r = Quaternion(pose['rotation']).rotation_matrix
+                s2e_r = Quaternion(cs['rotation']).rotation_matrix
+                velo_cam = np.array([velo_g[0], velo_g[1], 0.0]) \
+                    @ np.linalg.inv(e2g_r).T @ np.linalg.inv(s2e_r).T
                 anns.append(dict(
                     category=_category(ann['category_name']),
                     bbox=[float(bx1), float(by1), float(bx2), float(by2)],
                     translation=[float(v) for v in box.center],
                     size=[float(v) for v in box.wlh],
                     rotation=[float(v) for v in box.orientation.elements],
-                    velocity=[float(velo[0]), float(velo[1])],
+                    velocity=[float(velo_cam[0]), float(velo_cam[2])],
                     attribute=attrs[0] if attrs else '',
                     visibility=vis,
                     truncation=float(trunc),
@@ -104,7 +112,8 @@ def convert(root: str, version: str, out_prefix: str,
                     ann_token=box.token,
                     num_pts=int(ann['num_lidar_pts'])
                     + int(ann['num_radar_pts'])))
-            infos[split].append(dict(
+                kept_boxes.append(box)
+            info = dict(
                 img_path=sd['filename'],
                 cam_id=CAMS.index(cam),
                 sample_token=sample['token'],
@@ -114,12 +123,74 @@ def convert(root: str, version: str, out_prefix: str,
                 ego2global_rotation=pose['rotation'],
                 ego2global_translation=pose['translation'],
                 annotations=anns,
-                version=version))
+                version=version)
+            if with_obj_points:
+                info['oc_path'] = _write_obj_points(
+                    nusc, sample, sd, cs, pose, k, kept_boxes,
+                    out_prefix)
+            infos[split].append(info)
     for split, data in infos.items():
         path = f'{out_prefix}_{split}.pkl'
         with open(path, 'wb') as f:
             pickle.dump(data, f)
         print(f'{split}: {len(data)} camera samples -> {path}')
+
+
+def _write_obj_points(nusc, sample, cam_sd, cam_cs, cam_pose, k,
+                      kept_boxes, out_prefix):
+    """Cache per-object lidar points as object-frame coords + projections.
+
+    Counterpart of the reference ``get_obj_crd``
+    (EPro-PnP-Det/tools/data_converter/nuscenes_converter.py:468-503):
+    the keyframe LIDAR_TOP cloud is chained lidar->ego->global->ego->cam
+    (the two ego poses differ by the sensor timestamps), projected with
+    the camera intrinsics, masked to the canvas, and for each kept
+    annotation the in-box points are stored in the BOX frame (``oc``)
+    alongside their image projections (``uv``). The per-image pickle path
+    is recorded as ``oc_path`` in the info dict; it feeds ``loss_regr``
+    via ``NuScenes3DDataset.parse_ann_info``.
+    """
+    from pyquaternion import Quaternion
+    lid_sd = nusc.get('sample_data', sample['data']['LIDAR_TOP'])
+    lid_cs = nusc.get('calibrated_sensor',
+                      lid_sd['calibrated_sensor_token'])
+    lid_pose = nusc.get('ego_pose', lid_sd['ego_pose_token'])
+    pts = np.fromfile(os.path.join(nusc.dataroot, lid_sd['filename']),
+                      np.float32).reshape(-1, 5)[:, :3]
+    # lidar -> ego(lidar ts) -> global -> ego(cam ts) -> camera
+    pts = pts @ Quaternion(lid_cs['rotation']).rotation_matrix.T \
+        + np.asarray(lid_cs['translation'])
+    pts = pts @ Quaternion(lid_pose['rotation']).rotation_matrix.T \
+        + np.asarray(lid_pose['translation'])
+    pts = (pts - np.asarray(cam_pose['translation'])) \
+        @ Quaternion(cam_pose['rotation']).rotation_matrix
+    pts = (pts - np.asarray(cam_cs['translation'])) \
+        @ Quaternion(cam_cs['rotation']).rotation_matrix
+    in_front = pts[:, 2] > 0.1
+    pts = pts[in_front]
+    uvz = pts @ np.asarray(k).T
+    uv = uvz[:, :2] / uvz[:, 2:]
+    w_img, h_img = cam_sd['width'], cam_sd['height']
+    in_canvas = ((uv >= -0.5)
+                 & (uv < np.array([w_img, h_img]) - 0.5)).min(axis=1)
+    pts, uv = pts[in_canvas], uv[in_canvas]
+
+    oc_list, uv_list = [], []
+    for box in kept_boxes:
+        oc = (pts - box.center) @ box.rotation_matrix
+        w, l, h = box.wlh
+        ub = np.array([l / 2, w / 2, h / 2])
+        mask = ((oc >= -ub) & (oc <= ub)).min(axis=1)
+        oc_list.append(oc[mask].astype(np.float32))
+        uv_list.append(uv[mask].astype(np.float32))
+
+    oc_dir = f'{out_prefix}_oc'
+    os.makedirs(oc_dir, exist_ok=True)
+    name = os.path.splitext(os.path.basename(cam_sd['filename']))[0]
+    path = os.path.join(oc_dir, name + '__OC.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(dict(oc_list=oc_list, uv_list=uv_list), f)
+    return path
 
 
 _CATEGORY_MAP = {
