@@ -60,6 +60,12 @@ class EProPnPDet(nn.Module):
         # (configs/epropnp_det_v1b_220411.py out_indices=(1,2,3)) — a
         # C2-rooted pyramid would mislabel every FCOS/dense stride by 2x
         # and quadruple the level-0 tower compute.
+        if self.strides[0] not in (4, 8) or 8 not in self.strides \
+                or 32 not in self.strides:
+            raise ValueError(
+                'strides must start at 4 (v1 family) or 8 (v1b family) '
+                'and contain both 8 (FCOS base level) and 32 (dense-stage '
+                f'top level); got {self.strides}')
         first_stage = {4: 1, 8: 2}[self.strides[0]]
         self.backbone = ResNetBackbone(
             depth=self.backbone_depth,

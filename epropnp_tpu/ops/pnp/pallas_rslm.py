@@ -86,7 +86,17 @@ def _prng_seed(val):
 def _uniform(shape, extra=None):
     """Uniform [0, 1) draws; ``extra`` is a traced per-iteration salt for
     draws inside rolled loops (ignored on hardware — the on-chip PRNG is
-    stateful across loop iterations, the software stub is not)."""
+    stateful across loop iterations, the software stub is not).
+
+    WARNING (interpret mode): the software PRNG salts each draw with a
+    trace-time Python counter (``_soft.salt``), which is bumped ONCE per
+    call SITE. A call site inside a rolled ``fori_loop``/``scan`` body is
+    traced once, so without ``extra`` it returns IDENTICAL draws every
+    iteration — silently degrading sampling coverage in CPU CI. Any
+    ``_uniform`` inside a rolled loop MUST pass the loop counter (or a
+    value derived from it) as ``extra``; unrolled/single-shot call sites
+    may omit it. Today only ``chunk_body`` draws inside a rolled loop and
+    it passes ``extra``."""
     if INTERPRET:
         _soft.salt += 1
         i0 = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)

@@ -30,7 +30,17 @@ pytestmark = pytest.mark.skipif(ref is None, reason="torch reference unavailable
 if ref is not None:
     import torch
 
+
+@pytest.fixture(autouse=True)
+def _torch_float64_scoped():
+    """These parity tests compare against the reference in float64, but
+    ``torch.set_default_dtype`` is PROCESS-wide — a module-level call
+    leaked float64 into later test modules (round-2 suite failure in
+    test_mc_blowup_parity). Scope it per-test with save/restore."""
+    prev = torch.get_default_dtype()
     torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
 
 
 def make_problem(rng, bs=6, n=32, dof=6, noise=0.02, outliers=0.2,

@@ -151,3 +151,19 @@ def test_cbgs_wrapper_balances():
     assert counts[1] > 0  # minority class got replicated
     ratio = counts[1] / max(counts[0], 1)
     assert ratio > 2 / 8  # more balanced than the raw 2:8
+
+
+def test_detector_rejects_unsupported_strides():
+    """setup() validates the pyramid up front with a clear message
+    instead of a bare KeyError deep inside Flax setup."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from epropnp_tpu.det.api import build_detector
+    from epropnp_tpu.det.config import DetConfig
+
+    cfg = DetConfig(strides=(16, 32, 64))
+    model = build_detector(cfg)
+    with pytest.raises(ValueError, match='strides must start at 4'):
+        model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3)), (64, 64))
