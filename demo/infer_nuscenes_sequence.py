@@ -48,8 +48,13 @@ def main():
         p.error(f'no {args.cam} frames in {args.ann}')
 
     first = cv2.imread(os.path.join(args.data, infos[0]['img_path']))
-    model, variables = init_detector(cfg, args.checkpoint,
-                                     img_hw=first.shape[:2])
+    # init at the post-crop geometry (inference_detector auto-applies
+    # the reference sky-band crop to full nuScenes frames)
+    from epropnp_tpu.det.pipelines import REFERENCE_CROP_BOX as _CB
+    hw = first.shape[:2]
+    if hw[0] >= _CB[3] and hw[1] >= _CB[2]:
+        hw = (_CB[3] - _CB[1], _CB[2] - _CB[0])
+    model, variables = init_detector(cfg, args.checkpoint, img_hw=hw)
     os.makedirs(args.out, exist_ok=True)
     infer_fn = None
     for fi, info in enumerate(infos):

@@ -17,7 +17,7 @@ from ..models.detectors.epropnp_det import EProPnPDet
 from ..utils.checkpoint import load_checkpoint
 from ..utils.timer import IterTimers
 from .config import DetConfig
-from .pipelines import default_pipeline
+from .pipelines import REFERENCE_CROP_BOX, default_pipeline
 from . import test as dtest
 
 
@@ -43,7 +43,7 @@ def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
 
 
 def init_detector(cfg: DetConfig, checkpoint: Optional[str] = None,
-                  img_hw=(896, 1600), **overrides):
+                  img_hw=(672, 1600), **overrides):
     """Build the model and (optionally) restore parameters.
 
     Returns (model, variables). Reference: apis/inference.py:82-118.
@@ -60,9 +60,14 @@ def init_detector(cfg: DetConfig, checkpoint: Optional[str] = None,
 def inference_detector(model, variables, cfg: DetConfig,
                        imgs: List[np.ndarray],
                        cam_intrinsics: List[np.ndarray],
-                       infer_fn=None, rng=None, timers: IterTimers = None):
+                       infer_fn=None, rng=None, timers: IterTimers = None,
+                       crop_box='auto'):
     """Run inference on raw images (host pipeline + jitted model).
 
+    ``crop_box='auto'`` applies the reference sky-band crop
+    (``REFERENCE_CROP_BOX``, i.e. 1600x900 -> 1600x672 — the released
+    test pipeline crops too, basic.py:190) when the input frame is at
+    least that large; pass None to disable or an explicit box.
     Returns per-image per-class detection arrays (reference
     apis/inference.py:120-170 + single_gpu_test).
     """
@@ -70,8 +75,14 @@ def inference_detector(model, variables, cfg: DetConfig,
     samples = []
     with timers('data time'):
         for img, k in zip(imgs, cam_intrinsics):
+            box = crop_box
+            if box == 'auto':
+                box = REFERENCE_CROP_BOX if (
+                    img.shape[0] >= REFERENCE_CROP_BOX[3]
+                    and img.shape[1] >= REFERENCE_CROP_BOX[2]) else None
             samples.append(default_pipeline(
-                dict(img=img, cam_intrinsic=np.asarray(k)), training=False))
+                dict(img=img, cam_intrinsic=np.asarray(k)),
+                training=False, crop_box=box))
     n = len(samples)
     batch_img = jnp.asarray(np.stack([s['img'] for s in samples]))
     cam = jnp.asarray(np.stack([s['cam_intrinsic'] for s in samples]),

@@ -49,9 +49,15 @@ class DetTrainConfig:
     uniform_mix_ratio: float = 0.5
     roi_shape: Tuple[int, int] = (28, 28)
     max_gt_per_img: int = 32
-    lr: float = 2e-4
+    # Reference optimizer recipe (configs/epropnp_det_basic.py:226-241):
+    # AdamW lr 1e-4 / wd 1e-4, step-LR x0.1 after epochs [10, 11],
+    # sampling_offsets param group at lr_mult 0.1, grad clip max_norm 5.
+    lr: float = 1e-4
     weight_decay: float = 0.0001
-    grad_clip: float = 35.0
+    grad_clip: float = 5.0
+    lr_steps: Tuple[int, ...] = (10, 11)
+    lr_gamma: float = 0.1
+    sampling_offsets_lr_mult: float = 0.1
     epochs: int = 12
     batch_size: int = 12
     # Annotation split: 'train' or 'trainval' (reference trainval configs

@@ -47,10 +47,11 @@ def make_sharded_step(step_fn, n_devices: Optional[int] = None):
 
 
 def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
-               save_dir: str, img_hw=(896, 1600),
+               save_dir: str, img_hw=(672, 1600),
                resume_from: Optional[str] = None,
                data_parallel: bool = False, log_interval: int = 50,
-               seed: int = 0, prefetch: int = 2, ckpt_interval: int = 1):
+               seed: int = 0, prefetch: int = 2, ckpt_interval: int = 1,
+               eval_fn=None, eval_interval: int = 1):
     """``batch_iter_factory(epoch) -> iterator of DetBatch``.
 
     ``prefetch`` > 0 advances the factory's iterator on a background
@@ -58,10 +59,19 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
     (parallel/prefetch.py); 0 iterates synchronously. ``ckpt_interval``
     saves every N epochs (+ the final one) — serializing the state is
     expensive on thin hosts.
+
+    ``eval_fn(state, epoch) -> dict`` runs every ``eval_interval`` epochs
+    after checkpointing and its metrics are logged — the reference
+    evaluates NDS each epoch (configs/epropnp_det_basic.py:223-225
+    ``evaluation = dict(interval=1, metric='NDS')``).
+
+    Default ``img_hw`` is the reference input geometry: 1600x900 frames
+    sky-cropped to 1600x672 by ``Crop3D`` (crop_box=(0, 228, 1600, 900),
+    basic.py:173,190).
     """
     logger = get_logger('epropnp_tpu.det', save_dir)
     model = build_detector(cfg)
-    tx = dtrain.make_optimizer(cfg)
+    tx = dtrain.make_optimizer(cfg, steps_per_epoch)
     state = init_state(cfg, model, tx, img_hw, jax.random.PRNGKey(seed))
     if resume_from:
         state = load_checkpoint(resume_from, state)
@@ -99,6 +109,11 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
                 os.path.join(save_dir, f'checkpoint_{epoch:03d}.msgpack'),
                 state)
             save_checkpoint(os.path.join(save_dir, 'latest.msgpack'), state)
+        if eval_fn is not None and (epoch + 1) % eval_interval == 0:
+            metrics = eval_fn(state, epoch)
+            logger.info('epoch %d eval: %s', epoch, ' '.join(
+                f'{k}={v:.4f}' for k, v in sorted(metrics.items())
+                if isinstance(v, (int, float))))
         logger.info('epoch %d done', epoch)
     return state
 

@@ -396,11 +396,42 @@ class DetTrainState(struct.PyTreeNode):
                    step=jnp.zeros((), jnp.int32))
 
 
-def make_optimizer(cfg: DetConfig):
-    """AdamW + global-norm clip (reference optimizer.py grad clipping)."""
+def _sampling_offsets_mask(params):
+    """Pytree of bools: True on leaves under a 'sampling_offsets' module."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(k, 'key', getattr(k, 'name', None)) ==
+            'sampling_offsets' for k in path),
+        params)
+
+
+def make_optimizer(cfg: DetConfig, steps_per_epoch: int = 0):
+    """AdamW, reference recipe (configs/epropnp_det_basic.py:227-241 +
+    runner/hooks/optimizer.py:14-38):
+
+    - base lr 1e-4, weight decay 1e-4;
+    - step-LR x0.1 after epochs ``cfg.train.lr_steps`` (=[10, 11]) when
+      ``steps_per_epoch`` > 0 (0 = constant lr, e.g. synthetic studies
+      that measure per-step convergence);
+    - ``sampling_offsets`` parameters at lr_mult 0.1 (paramwise_cfg) —
+      applied as a masked post-scale of the AdamW update, which scales
+      both the Adam step and the decoupled weight decay exactly like a
+      torch param group with group lr = 0.1 * lr;
+    - global-norm gradient clip at max_norm 5.0 (the released configs
+      put every parameter in the single default clip group).
+    """
+    if steps_per_epoch > 0 and cfg.train.lr_steps:
+        lr = optax.piecewise_constant_schedule(
+            cfg.train.lr,
+            {int(e) * steps_per_epoch: cfg.train.lr_gamma
+             for e in cfg.train.lr_steps})
+    else:
+        lr = cfg.train.lr
     return optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay))
+        optax.adamw(lr, weight_decay=cfg.train.weight_decay),
+        optax.masked(optax.scale(cfg.train.sampling_offsets_lr_mult),
+                     _sampling_offsets_mask))
 
 
 def make_train_step(model, cfg: DetConfig, tx,

@@ -142,3 +142,84 @@ def test_collate_det_batch_shapes():
     assert batch.gt_bboxes.shape == (2, 4, 4)
     assert bool(batch.gt_mask[0, 0]) and not bool(batch.gt_mask[0, 1])
     assert np.isnan(np.asarray(batch.gt_velo[0, 1])).all()  # padded slot
+
+
+def test_crop_3d_reference_geometry():
+    """Crop3D with the released crop_box (0, 228, 1600, 900):
+    1600x900 -> 1600x672; boxes offset+clipped; dense map values keep
+    ORIGINAL coordinates (transforms.py:84-186, basic.py:173,190)."""
+    cv2 = pytest.importorskip('cv2')
+    r = np.random.default_rng(0)
+    sample = dict(
+        img=r.integers(0, 255, (900, 1600, 3)).astype(np.uint8),
+        cam_intrinsic=np.eye(3),
+        gt_bboxes=np.array([[100., 300., 200., 500.],   # fully inside
+                            [50., 0., 150., 120.]],      # entirely in sky
+                           np.float32),
+        gt_labels=np.array([1, 2]),
+        gt_bboxes_3d=r.normal(size=(2, 7)).astype(np.float32),
+        truncation=np.array([0.0, 0.0], np.float32))
+    sample = pl.load_image_3d(sample)
+    out = pl.crop_3d(sample, pl.REFERENCE_CROP_BOX,
+                     trunc_ignore_thres=0.8)
+    assert out is not None
+    assert out['img'].shape[:2] == (672, 1600)
+    assert out['img_dense_x2d'].shape[:2] == (672, 1600)
+    # dense map still carries original pixel coords: row 0 is original 228
+    assert np.allclose(out['img_dense_x2d'][0, 7], [7., 228.])
+    # sky-only box dropped, aligned fields filtered together
+    assert out['gt_bboxes'].shape == (1, 4)
+    assert np.allclose(out['gt_bboxes'][0], [100., 72., 200., 272.])
+    assert out['gt_labels'].tolist() == [1]
+    assert out['gt_bboxes_3d'].shape == (1, 7)
+
+
+def test_crop_3d_truncation_relabel():
+    """A box cut by the crop edge beyond the visible-area threshold is
+    moved to gt_bboxes_ignore (transforms.py:119-147); the stored
+    truncation un-discounts its pre-crop area."""
+    sample = dict(
+        img=np.zeros((100, 100, 3), np.uint8),
+        gt_bboxes=np.array([[0., 30., 40., 90.],    # mostly kept
+                            [0., 20., 30., 52.]],   # only 12/32 rows kept
+                           np.float32),
+        gt_labels=np.array([0, 1]),
+        # the second box is also half-truncated pre-crop, so its visible
+        # fraction of the FULL object is 0.375 * 0.5 < (1 - 0.8) -> ignore
+        truncation=np.array([0.0, 0.5], np.float32))
+    sample = pl.load_image_3d(sample)
+    out = pl.crop_3d(sample, (0, 40, 100, 100), trunc_ignore_thres=0.8)
+    assert out is not None
+    assert out['gt_labels'].tolist() == [0]
+    assert len(out['gt_bboxes_ignore']) == 1
+    # no valid GT left -> sample skipped in training
+    s2 = pl.load_image_3d(dict(
+        img=np.zeros((100, 100, 3), np.uint8),
+        gt_bboxes=np.array([[0., 0., 30., 30.]], np.float32),
+        gt_labels=np.array([0])))
+    assert pl.crop_3d(s2, (0, 40, 100, 100), -1.0) is None
+    assert pl.crop_3d(s2, (0, 40, 100, 100), -1.0,
+                      allow_negative_crop=True) is not None
+
+
+def test_random_and_min_iou_crops():
+    r = np.random.default_rng(3)
+    def mk():
+        s = dict(img=np.arange(64 * 64 * 3, dtype=np.uint8
+                               ).reshape(64, 64, 3) % 255,
+                 gt_bboxes=np.array([[20., 20., 44., 44.]], np.float32),
+                 gt_labels=np.array([5]),
+                 gt_bboxes_3d=np.ones((1, 7), np.float32))
+        return pl.load_image_3d(s)
+    out = pl.random_crop_3d(mk(), r, (48, 48), allow_negative_crop=True)
+    assert out['img'].shape[:2] == (48, 48)
+    assert out['img_dense_x2d'].shape[:2] == (48, 48)
+    for _ in range(5):
+        out = pl.min_iou_random_crop_3d(mk(), r)
+        h, w = out['img'].shape[:2]
+        assert out['img_dense_x2d'].shape[:2] == (h, w)
+        if len(out['gt_bboxes']):
+            b = out['gt_bboxes']
+            assert (b[:, 2] <= w + 1e-5).all() and (b[:, 3] <= h + 1e-5).all()
+            assert len(out['gt_labels']) == len(b)
+            assert len(out['gt_bboxes_3d']) == len(b)

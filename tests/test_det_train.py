@@ -170,3 +170,45 @@ def test_det_train_step_remat_matches_plain():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
         outs['plain'][1], outs['remat'][1])
+
+
+def test_optimizer_reference_recipe():
+    """Reference optimizer fidelity (configs/epropnp_det_basic.py:226-241):
+    sampling_offsets updates at lr_mult 0.1, step-LR x0.1 after epochs
+    [10, 11], defaults lr=1e-4 / clip=5.0."""
+    import numpy as np
+    import jax.numpy as jnp
+    from epropnp_tpu.det.config import DetConfig
+
+    cfg = DetConfig()
+    assert cfg.train.lr == 1e-4
+    assert cfg.train.grad_clip == 5.0
+    assert cfg.train.lr_steps == (10, 11)
+
+    params = {'head': {'sampling_offsets': {'kernel': jnp.ones((4,))},
+                       'linear': {'kernel': jnp.ones((4,))}}}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    spe = 2  # boundaries at optimizer steps 20 and 22
+    tx = dtrain.make_optimizer(cfg, steps_per_epoch=spe)
+    state = tx.init(params)
+    mags = []
+    for _ in range(25):
+        updates, state = tx.update(grads, state, params)
+        mags.append((
+            float(jnp.abs(updates['head']['linear']['kernel'][0])),
+            float(jnp.abs(updates['head']['sampling_offsets']['kernel'][0])),
+        ))
+    # lr_mult: sampling_offsets update is 0.1x the default group, always
+    for d, s in mags:
+        assert s == pytest.approx(0.1 * d, rel=1e-5)
+    # step decay: epoch 10 boundary (step 20) drops lr 10x, epoch 11
+    # (step 22) another 10x
+    assert mags[19][0] == pytest.approx(10 * mags[21][0], rel=0.05)
+    assert mags[21][0] == pytest.approx(10 * mags[23][0], rel=0.05)
+    # constant-lr mode for per-step studies
+    tx0 = dtrain.make_optimizer(cfg, steps_per_epoch=0)
+    s0 = tx0.init(params)
+    for _ in range(25):
+        u0, s0 = tx0.update(grads, s0, params)
+    assert float(jnp.abs(u0['head']['linear']['kernel'][0])) == \
+        pytest.approx(mags[0][0], rel=0.05)

@@ -4,7 +4,7 @@ Attributes the ~300 ms/img det_dense serving time (tools/bench_det_stages.py)
 to its subcomponents, including deformable-conv on/off variants — the
 decision input for TPU kernel work on the DCN gather path.
 
-Usage: python tools/bench_dense_split.py [--height 896] [--width 1600]
+Usage: python tools/bench_dense_split.py [--height 672] [--width 1600]
        [--iters 10] [--bf16]
 """
 
@@ -52,7 +52,7 @@ def timed(fn, args, iters, name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--height', type=int, default=896)
+    ap.add_argument('--height', type=int, default=672)
     ap.add_argument('--width', type=int, default=1600)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--bf16', action='store_true')

@@ -14,7 +14,7 @@ hot spots of the 3 img/s serving number can be attributed:
 Counterpart of the reference's ``--timer`` per-stage timers
 (EPro-PnP-Det/test.py:64-68, epropnp_det/utils/timer.py:10-46).
 
-Usage: python tools/bench_det_stages.py [--height 896] [--width 1600]
+Usage: python tools/bench_det_stages.py [--height 672] [--width 1600]
        [--bs 1] [--iters 20] [--bf16] [--pallas]
 """
 
@@ -68,7 +68,7 @@ def timed(fn, args, iters, name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--height', type=int, default=896)
+    ap.add_argument('--height', type=int, default=672)
     ap.add_argument('--width', type=int, default=1600)
     ap.add_argument('--bs', type=int, default=1)
     ap.add_argument('--iters', type=int, default=20)

@@ -10,7 +10,7 @@ the compiler's own accounting (``compile().memory_analysis()``): argument
   * the serving path at bs 1..N, f32 vs bf16 dense.
 
 Usage: python tools/mem_envelope_det.py [--train-bs 6] [--serve-bs 1 2]
-       [--height 896] [--width 1600] [--train-tiny-pnp]
+       [--height 672] [--width 1600] [--train-tiny-pnp]
 """
 
 from __future__ import annotations
@@ -101,7 +101,7 @@ def train_batch(bs, h, w, gmax=32, pts=64):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--height', type=int, default=896)
+    ap.add_argument('--height', type=int, default=672)
     ap.add_argument('--width', type=int, default=1600)
     ap.add_argument('--train-bs', type=int, nargs='*', default=[6])
     ap.add_argument('--serve-bs', type=int, nargs='*', default=[1, 2])

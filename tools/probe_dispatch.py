@@ -43,7 +43,7 @@ def wall(fn, args, iters, name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--height', type=int, default=896)
+    ap.add_argument('--height', type=int, default=672)
     ap.add_argument('--width', type=int, default=1600)
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--inner', type=int, default=8)

@@ -1,7 +1,7 @@
 """Execute REAL v1b train steps on the attached chip and time them.
 
 The proof-of-fit companion to tools/mem_envelope_det.py: compiles the
-full v1b training step (896x1600, synthetic batch) at the requested
+full v1b training step (672x1600, synthetic batch) at the requested
 batch size / precision / remat setting, runs it for real on the device,
 and reports ms/step. With the chunked DCN backward
 (ops/pallas_dcn.py::_bwd_chunked) and bf16, the reference's published
@@ -31,7 +31,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bs', type=int, default=2)
-    ap.add_argument('--height', type=int, default=896)
+    ap.add_argument('--height', type=int, default=672)
     ap.add_argument('--width', type=int, default=1600)
     ap.add_argument('--steps', type=int, default=5)
     ap.add_argument('--bf16', action='store_true')

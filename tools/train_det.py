@@ -25,7 +25,11 @@ def main():
     p.add_argument('--resume-from', default=None)
     p.add_argument('--data-parallel', action='store_true')
     p.add_argument('--batch-size', type=int, default=None)
-    p.add_argument('--img-hw', type=int, nargs=2, default=(896, 1600))
+    p.add_argument('--img-hw', type=int, nargs=2, default=(672, 1600),
+                   help='post-crop geometry (reference: 1600x900 sky-'
+                        'cropped to 1600x672)')
+    p.add_argument('--no-crop', action='store_true',
+                   help='disable the reference Crop3D sky-band crop')
     args = p.parse_args()
 
     import dataclasses
@@ -34,7 +38,7 @@ def main():
     from epropnp_tpu.det.main import train_loop
     from epropnp_tpu.det.nuscenes_dataset import NuScenes3DDataset
     from epropnp_tpu.det.pipelines import (
-        collate_det_batch, default_pipeline)
+        REFERENCE_CROP_BOX, collate_det_batch, default_pipeline)
     try:
         import cv2
     except ImportError:
@@ -52,23 +56,46 @@ def main():
     steps = max(len(dataset) // bs, 1)
     max_gt = cfg.train.max_gt_per_img
 
+    def load_sample(j, rng):
+        info = dataset.data_infos[j]
+        img = cv2.imread(
+            os.path.join(args.data, info['img_path']))[..., ::-1]
+        gt = dataset.parse_ann_info(info)
+        s = dict(img=img,
+                 cam_intrinsic=np.asarray(info['cam_intrinsic']),
+                 gt_bboxes=gt['bboxes'], gt_labels=gt['labels'],
+                 gt_bboxes_3d=gt['bboxes_3d'], gt_velo=gt['velos'],
+                 gt_attr=gt['attrs'],
+                 gt_bboxes_ignore=gt['bboxes_ignore'],
+                 truncation=gt['truncation'])
+        if 'x3d' in gt:
+            s.update(gt_x3d=gt['x3d'], gt_x2d=gt['x2d'])
+        # returns None when the crop leaves no valid GT (reference
+        # allow_negative_crop=False skips such samples)
+        return default_pipeline(
+            s, rng, training=True,
+            crop_box=None if args.no_crop else REFERENCE_CROP_BOX)
+
     def batch_iter(epoch):
         rng = np.random.default_rng(epoch)
-        order = rng.permutation(len(dataset))
-        for i in range(0, len(order) - bs + 1, bs):
-            samples = []
-            for j in order[i:i + bs]:
-                info = dataset.data_infos[j]
-                img = cv2.imread(
-                    os.path.join(args.data, info['img_path']))[..., ::-1]
-                gt = dataset.parse_ann_info(info)
-                s = dict(img=img,
-                         cam_intrinsic=np.asarray(info['cam_intrinsic']),
-                         gt_bboxes=gt['bboxes'], gt_labels=gt['labels'],
-                         gt_bboxes_3d=gt['bboxes_3d'], gt_velo=gt['velos'],
-                         gt_attr=gt['attrs'])
-                samples.append(default_pipeline(s, rng, training=True))
-            yield collate_det_batch(samples, max_gt)
+        order = iter(rng.permutation(len(dataset)))
+        for _ in range(steps):
+            samples, attempts = [], 0
+            while len(samples) < bs:
+                attempts += 1
+                if attempts > 100 * bs:
+                    raise RuntimeError(
+                        'every drawn sample was dropped by the pipeline '
+                        '(no valid GT after the crop) — check annotations')
+                j = next(order, None)
+                if j is None:  # backfill dropped samples: fixed batch
+                    j = int(rng.integers(len(dataset)))
+                s = load_sample(j, rng)
+                if s is not None:
+                    samples.append(s)
+            yield collate_det_batch(
+                samples, max_gt,
+                max_pts=128 if cfg.with_loss_regr else 0)
 
     train_loop(cfg, batch_iter, steps, args.save, img_hw=tuple(args.img_hw),
                resume_from=args.resume_from,
