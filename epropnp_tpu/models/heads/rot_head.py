@@ -30,8 +30,12 @@ class RotHead(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype)
         for _ in range(self.num_layers):
+            # padding (1, 2) on the dilated input == torch
+            # ConvTranspose2d(k3, s2, padding=1, output_padding=1): same
+            # 2x upsample as 'SAME' but reference-exact tap alignment, so
+            # converted torch weights reproduce features bit-for-bit
             x = nn.ConvTranspose(self.num_filters, (3, 3), (2, 2),
-                                 padding='SAME', use_bias=False,
+                                 padding=((1, 2), (1, 2)), use_bias=False,
                                  dtype=self.dtype)(x)
             x = nn.relu(norm()(x))
             for _ in range(2):

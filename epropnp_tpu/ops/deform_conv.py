@@ -36,6 +36,11 @@ class DeformConv(nn.Module):
     features: int
     kernel_size: int = 3
     use_modulation: bool = True
+    # modulation = sigmoid(mask) * modulation_scale. 2.0 (default) makes
+    # the zero-init identity-like (mod=1) for from-scratch training;
+    # 1.0 reproduces mmcv ModulatedDeformConv2dPack exactly — required
+    # when ingesting converted mmdet checkpoints (utils/torch_convert).
+    modulation_scale: float = 2.0
     dtype: Any = jnp.float32
     fused: Any = None
 
@@ -51,7 +56,8 @@ class DeformConv(nn.Module):
             kernel_init=nn.initializers.zeros, name='conv_offset')(x)
         offsets = offset_mask[..., :taps * 2].reshape(n, h, w, taps, 2)
         if self.use_modulation:
-            mod = jax.nn.sigmoid(offset_mask[..., taps * 2:]) * 2.0
+            mod = jax.nn.sigmoid(offset_mask[..., taps * 2:]) \
+                * self.modulation_scale
         else:
             mod = jnp.ones((n, h, w, taps), self.dtype)
 

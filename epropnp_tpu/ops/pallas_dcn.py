@@ -167,7 +167,11 @@ def _fwd(packed_flat, rows, w4, kern, interpret):
 # table in chunks instead of materializing (taps, L, 4, c) whole — at v1b
 # train shapes that tensor is 4.6 GiB per DCN (f32, L=134400, c=256) and
 # dominates the train-step HBM peak (see tools/mem_envelope_det.py).
-BWD_CHUNK_ROWS = 8192
+# Env-overridable for tuning sweeps (tools/run_v1b_train_step.py): larger
+# chunks cut scan trips (faster) at a linearly larger temp footprint.
+import os as _os  # noqa: E402
+
+BWD_CHUNK_ROWS = int(_os.environ.get('EPROPNP_DCN_BWD_CHUNK', 8192))
 
 
 def _bwd_chunked(packed_flat, rows, w4, kern, ct):

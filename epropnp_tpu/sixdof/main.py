@@ -90,9 +90,22 @@ def train_loop(cfg: SixDoFConfig, dataset, save_dir: str,
         axis_name='data' if data_parallel else None)
     state = init_state(cfg, model, tx, jax.random.PRNGKey(seed))
     if cfg.load_model:
-        state = load_checkpoint(cfg.load_model, state,
-                                filter_fn=lambda k: k == 'params')
-        logger.info('loaded params from %s', cfg.load_model)
+        if cfg.load_model.endswith(('.pth', '.pt', '.tar')):
+            # released torch checkpoints (CDPN stage-1 / EPro-PnP 6DoF):
+            # convert + graft (reference lib/model.py:79-105 filtered load)
+            from ..utils.torch_convert import (
+                cdpn_variables, load_torch_state_dict, merge_pretrained)
+            conv = cdpn_variables(load_torch_state_dict(cfg.load_model),
+                                  depth=cfg.network.back_layers_num)
+            state = state.replace(
+                params=merge_pretrained(state.params, conv['params']),
+                batch_stats=merge_pretrained(state.batch_stats,
+                                             conv['batch_stats']))
+            logger.info('converted torch weights from %s', cfg.load_model)
+        else:
+            state = load_checkpoint(cfg.load_model, state,
+                                    filter_fn=lambda k: k == 'params')
+            logger.info('loaded params from %s', cfg.load_model)
     if resume_from:
         state = load_checkpoint(resume_from, state)
         logger.info('resumed full state from %s', resume_from)
