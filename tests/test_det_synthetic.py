@@ -103,10 +103,11 @@ def test_det_synthetic_convergence_floor():
     """Short run of the Det convergence study (tools/validate_det_synthetic
     .run_study): training the full stack from scratch on synthetic scenes
     must clear an NDS floor on held-out scenes — ties the training recipe
-    to the devkit-free nuScenes metrics (VERDICT-r1 item 9). The floor is
-    ~40% of what the same seed reaches at this step count (see STATUS.md
-    round-2 curve), so it trips on recipe regressions, not run-to-run
-    noise."""
+    to the devkit-free nuScenes metrics (VERDICT-r1 item 9). This exact
+    invocation (seed 0, bs 2, pool 24) measured NDS 0.461 on the CPU
+    backend (round 2) and 0.486+ on hardware; the 0.35 floor (VERDICT-r2
+    item 5) trips on any ~25% regression while clearing fixed-seed
+    numerics jitter between backends."""
     import sys
     import os
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -115,5 +116,5 @@ def test_det_synthetic_convergence_floor():
 
     out = vds.run_study(steps=300, bs=2, pool=24, eval_scenes=8,
                         eval_every=100, seed=0, log=lambda *a: None)
-    assert out['nds'] >= 0.15, out
-    assert out['recall'] > 0.2, out
+    assert out['nds'] >= 0.35, out
+    assert out['recall'] > 0.4, out

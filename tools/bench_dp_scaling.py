@@ -1,21 +1,31 @@
 """Data-parallel scaling of the Det train step on a virtual device mesh.
 
-Measures the jitted shard_map train step at 1/2/4/8 devices on the
-CPU backend (``xla_force_host_platform_device_count``) in two regimes:
+Measures steps/s of the full small-but-real Det training step
+(tools/validate_det_synthetic.py::small_cfg — backbone + FPN + FCOS +
+deformable head + AMIS MC pose loss) under ``shard_map`` data
+parallelism at 1/2/4/8 devices, in BOTH scaling regimes:
 
-- weak scaling: per-device batch fixed (total batch grows with devices) —
-  the production regime (reference trains 4 GPU x 3 img / 2 GPU x 6 img);
-- strong scaling: total batch fixed at 8, sharded across devices.
+- weak:   per-device batch fixed (global batch = N * bs) — the regime
+  the reference trains in (12-img global batch over GPUs, DDP;
+  /root/reference/EPro-PnP-Det/configs/epropnp_det_basic.py:245).
+- strong: global batch fixed, shards shrink with N.
 
-CAVEAT (printed in the output): the virtual devices share ONE physical
-host core here, so absolute steps/s does NOT measure parallel speedup —
-it measures the sharding/collective overhead added by the mesh
-partition. The per-chip hardware extrapolation column multiplies the
-measured single-chip v1b step time (tools/run_v1b_train_step.py) by the
-device count at the measured collective-overhead ratio.
+Device counts come from ``--xla_force_host_platform_device_count``,
+which is process-level, so the parent re-execs itself once per N
+(child mode: ``--child N``).
 
-Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    python tools/bench_dp_scaling.py [--steps 10] [--img 128]
+HONESTY CAVEAT (printed in the output): on this image the virtual
+devices all share ONE physical CPU core, so weak-scaling wall time
+grows ~linearly with N no matter what — the meaningful numbers here are
+(a) the collective/partition overhead: t_weak(N) / (N * t(1)), which
+would be the parallel efficiency loss on real chips where each shard
+runs on its own core/chip, and (b) strong-scaling t(N) vs t(1), where
+total compute is constant and any growth is pure sharding overhead.
+The real-chip extrapolation multiplies the measured single-chip v5e
+ms/step (tools/run_v1b_train_step.py) by the efficiency from (a).
+
+Usage: python tools/bench_dp_scaling.py [--devices 1,2,4,8] [--bs 1]
+           [--global-bs 8] [--steps 6] [--json-out dp_scaling.json]
 """
 
 from __future__ import annotations
@@ -23,115 +33,121 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-os.environ.setdefault('XLA_FLAGS',
-                      '--xla_force_host_platform_device_count=8')
-
-import jax  # noqa: E402
-
-jax.config.update('jax_platforms', 'cpu')
-
-import numpy as np  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tools'))
 
 
-def make_batch(n, hw, max_gt=4, seed=0):
-    from epropnp_tpu.det.train import DetBatch
-    r = np.random.default_rng(seed)
-    h, w = hw
-    ys, xs = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
-                         indexing='ij')
-    boxes3d = np.tile(
-        np.array([1.8, 1.5, 4.0, 0.0, 1.0, 12.0, 0.3], np.float32),
-        (n, max_gt, 1))
-    boxes3d[..., 3] += r.normal(0, 2, (n, max_gt))
-    return DetBatch(
-        img=jnp.asarray(r.normal(size=(n, h, w, 3)), jnp.float32),
-        cam_intrinsic=jnp.tile(jnp.asarray(
-            [[120., 0, w / 2], [0, 120., h / 2], [0, 0, 1]],
-            jnp.float32), (n, 1, 1)),
-        img_shapes=jnp.tile(jnp.asarray([h, w], jnp.float32), (n, 1)),
-        ori_shapes=jnp.tile(jnp.asarray([h, w], jnp.float32), (n, 1)),
-        img_flips=jnp.zeros((n,), bool),
-        img_dense_x2d=jnp.tile(jnp.asarray(
-            np.stack([xs, ys], -1)[None], jnp.float32), (n, 1, 1, 1)),
-        img_dense_x2d_mask=jnp.ones((n, h, w, 1), jnp.float32),
-        gt_bboxes=jnp.tile(jnp.asarray(
-            [10., 10., 40., 40.], jnp.float32), (n, max_gt, 1)),
-        gt_bboxes_3d=jnp.asarray(boxes3d),
-        gt_labels=jnp.zeros((n, max_gt), jnp.int32),
-        gt_mask=jnp.ones((n, max_gt), bool),
-        gt_velo=jnp.zeros((n, max_gt, 2), jnp.float32),
-        gt_attr=jnp.zeros((n, max_gt), jnp.int32),
-        gt_x3d=None, gt_x2d=None, gt_pts_mask=None)
+def child(n: int, bs_weak: int, global_bs: int, steps: int):
+    import jax
+    import numpy as np
+    from validate_det_synthetic import (small_cfg, build_model,
+                                        scenes_to_batch, IM_HW)
+    from epropnp_tpu.det.synthetic import SyntheticDetSceneGenerator
+    from epropnp_tpu.det import train as dtrain
+    from epropnp_tpu.det.main import make_sharded_step
+
+    assert len(jax.devices()) >= n, (n, jax.devices())
+    cfg = small_cfg()
+    model = build_model(cfg)
+    gen = SyntheticDetSceneGenerator(im_hw=IM_HW, num_classes=3,
+                                     max_gt=4, lidar_points=16)
+    rng_np = np.random.default_rng(0)
+    tx = dtrain.make_optimizer(cfg)
+    step_fn = dtrain.make_train_step(model, cfg, tx)
+
+    out = {'n_devices': n}
+    for mode, gbs in (('weak', n * bs_weak), ('strong', global_bs)):
+        batch = scenes_to_batch(gen, gen.sample_batch(rng_np, gbs))
+        variables = model.init(jax.random.PRNGKey(0), batch.img[:1], IM_HW)
+        state = dtrain.DetTrainState.create(variables, tx)
+        step, sharding = make_sharded_step(step_fn, n_devices=n)
+        batch = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), batch)
+        state, losses = step(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses)  # compile + step 0
+        t0 = time.time()
+        for i in range(steps):
+            state, losses = step(state, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(losses)
+        dt = (time.time() - t0) / steps
+        out[mode] = {'global_bs': gbs, 'ms_per_step': dt * 1e3,
+                     'imgs_per_s': gbs / dt}
+    print('CHILD_JSON ' + json.dumps(out), flush=True)
 
 
 def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument('--steps', type=int, default=10)
-    ap.add_argument('--img', type=int, default=128,
-                    help='square image size for the tiny config')
-    ap.add_argument('--per-dev-bs', type=int, default=1)
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--devices', type=str, default='1,2,4,8')
+    ap.add_argument('--bs', type=int, default=1,
+                    help='per-device batch for weak scaling')
+    ap.add_argument('--global-bs', type=int, default=8,
+                    help='fixed global batch for strong scaling')
+    ap.add_argument('--steps', type=int, default=6)
+    ap.add_argument('--json-out', type=str, default='')
+    ap.add_argument('--child', type=int, default=0)
     args = ap.parse_args()
 
-    import dataclasses
-    from epropnp_tpu.det.config import DetConfig, DetPnPConfig
-    from epropnp_tpu.det import train as dtrain
-    from epropnp_tpu.det.main import init_state, make_sharded_step
-    from epropnp_tpu.det.api import build_detector
+    if args.child:
+        child(args.child, args.bs, args.global_bs, args.steps)
+        return
 
-    cfg = DetConfig.v1b()
-    cfg = dataclasses.replace(
-        cfg,
-        backbone_depth=18,
-        pnp=dataclasses.replace(cfg.pnp, mc_samples=32, num_iter=2,
-                                lm_num_iter=3, rs_num_proposals=8),
-        train=dataclasses.replace(cfg.train, num_obj_samples_per_img=4,
-                                  max_gt_per_img=4, roi_shape=(7, 7)))
-    hw = (args.img, args.img)
-    model = build_detector(cfg)
-    tx = dtrain.make_optimizer(cfg)
-    devices = jax.devices()
-    results = {}
-    for regime in ('weak', 'strong'):
-        results[regime] = []
-        for nd in (1, 2, 4, 8):
-            if nd > len(devices):
-                continue
-            bs = args.per_dev_bs * nd if regime == 'weak' else 8
-            if regime == 'strong' and bs % nd:
-                continue
-            state = init_state(cfg, model, tx, hw)
-            step_fn = dtrain.make_train_step(model, cfg, tx,
-                                             axis_name='data')
-            step, sharding = make_sharded_step(step_fn, n_devices=nd)
-            batch = jax.device_put(make_batch(bs, hw), sharding)
-            rng = jax.random.PRNGKey(0)
-            state, losses = step(state, batch, rng)   # compile
-            jax.block_until_ready(losses)
-            t0 = time.time()
-            for _ in range(args.steps):
-                state, losses = step(state, batch, rng)
-            jax.block_until_ready(losses)
-            dt = (time.time() - t0) / args.steps
-            results[regime].append(dict(
-                n_devices=nd, batch=bs, ms_per_step=round(dt * 1e3, 2),
-                img_per_s=round(bs / dt, 3)))
-            print(f'{regime} nd={nd} bs={bs}: {dt * 1e3:.1f} ms/step, '
-                  f'{bs / dt:.2f} img/s', flush=True)
-    base = results['weak'][0]['ms_per_step']
-    for row in results['weak']:
-        row['collective_overhead'] = round(
-            row['ms_per_step'] / (base * row['n_devices']), 3)
-    print(json.dumps(dict(
-        note='virtual devices share one host core: weak-scaling '
-             'ms_per_step ~ n_devices x single-device is IDEAL here; '
-             'collective_overhead is the excess factor',
-        results=results)))
+    rows = []
+    for n in [int(x) for x in args.devices.split(',')]:
+        env = dict(os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '') +
+                            f' --xla_force_host_platform_device_count={n}')
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--child', str(n),
+             '--bs', str(args.bs), '--global-bs', str(args.global_bs),
+             '--steps', str(args.steps)],
+            env=env, capture_output=True, text=True)
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith('CHILD_JSON ')]
+        if not line:
+            print(f'n={n} FAILED:\n{proc.stdout[-2000:]}\n'
+                  f'{proc.stderr[-2000:]}')
+            sys.exit(1)
+        row = json.loads(line[0][len('CHILD_JSON '):])
+        row['wall_s'] = time.time() - t0
+        rows.append(row)
+        print(f"n={n}: weak {row['weak']['ms_per_step']:.0f} ms/step "
+              f"(gbs {row['weak']['global_bs']}), "
+              f"strong {row['strong']['ms_per_step']:.0f} ms/step "
+              f"(gbs {row['strong']['global_bs']})  "
+              f"[{row['wall_s']:.0f}s incl. compile]", flush=True)
+
+    t1w = rows[0]['weak']['ms_per_step']
+    t1s = rows[0]['strong']['ms_per_step']
+    print('\nN  weak ms/step  eff_weak=N*t1/tN  strong ms/step  '
+          'overhead_strong=tN/t1')
+    table = []
+    for r in rows:
+        n = r['n_devices']
+        eff = n * t1w / r['weak']['ms_per_step']
+        ovh = r['strong']['ms_per_step'] / t1s
+        table.append({'n': n, 'weak_ms': r['weak']['ms_per_step'],
+                      'eff_weak': eff,
+                      'strong_ms': r['strong']['ms_per_step'],
+                      'strong_vs_1dev': ovh})
+        print(f"{n}  {r['weak']['ms_per_step']:12.1f}  {eff:16.2f}  "
+              f"{r['strong']['ms_per_step']:14.1f}  {ovh:20.2f}")
+    print('\nNOTE: all N virtual devices share ONE physical core; '
+          'eff_weak ~1.0 means the sharded program adds no overhead '
+          'beyond the serialized compute — the real-chip expectation '
+          'is t(N) ~ t(1) * eff_weak^-1 per step at N-fold batch.')
+    if args.json_out:
+        with open(args.json_out, 'w') as f:
+            json.dump({'rows': rows, 'table': table,
+                       'note': 'virtual CPU mesh, 1 physical core'},
+                      f, indent=1)
+        print(f'wrote {args.json_out}')
 
 
 if __name__ == '__main__':

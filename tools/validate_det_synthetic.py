@@ -35,7 +35,8 @@ import numpy as np
 
 from epropnp_tpu.core.bbox_3d.rotate_iou import rotated_iou_matrix
 from epropnp_tpu.det import train as dtrain
-from epropnp_tpu.det.config import DetConfig, DetPnPConfig, DetTrainConfig
+from epropnp_tpu.det.config import (DetConfig, DetLossWeights, DetPnPConfig,
+                                    DetTrainConfig)
 from epropnp_tpu.det.synthetic import SyntheticDetSceneGenerator
 from epropnp_tpu.det.test import make_inference_fn, results_to_numpy
 from epropnp_tpu.models.detectors.epropnp_det import EProPnPDet
@@ -59,17 +60,44 @@ def small_cfg(use_pallas: bool = False) -> DetConfig:
                              max_gt_per_img=GMAX, lr=3e-4))
 
 
+def v1b_small_cfg(use_pallas: bool = False) -> DetConfig:
+    """The v1b family's distinguishing traits (strides from 8, class
+    embeddings, class-specific dim/offset, pose weight 0.5, RoI 14x14 —
+    DetConfig.v1b / configs/epropnp_det_v1b_220411.py) at study scale."""
+    return DetConfig(
+        num_classes=NCLS, backbone_depth=18, embed_dims=64, num_heads=4,
+        num_points=8, strides=(8, 16, 32, 64, 128), output_stride=8,
+        use_cls_emb=True, dim_cls_agnostic=False, offset_cls_agnostic=False,
+        with_loss_regr=True, num_attrs=2,
+        loss=DetLossWeights(pose=0.5),
+        pnp=DetPnPConfig(mc_samples=64, num_iter=4, lm_num_iter=4,
+                         rs_num_points=8, rs_num_proposals=16, rs_num_iter=2,
+                         use_pallas=use_pallas),
+        train=DetTrainConfig(num_obj_samples_per_img=8, roi_shape=(14, 14),
+                             max_gt_per_img=GMAX, lr=3e-4))
+
+
+PRESETS = {'small': small_cfg, 'v1b_small': v1b_small_cfg}
+
+
 def build_model(cfg: DetConfig) -> EProPnPDet:
+    # one regress range per FCOS level (strides 8..): 24px doubling,
+    # scaled to the study's 128x224 scenes
+    n_fcos = len(cfg.strides) - cfg.strides.index(8)
+    bounds = [-1.0] + [24.0 * 2 ** i for i in range(n_fcos - 1)] + [1e8]
+    ranges = tuple(zip(bounds[:-1], bounds[1:]))
     return EProPnPDet(
         num_classes=cfg.num_classes, backbone_depth=cfg.backbone_depth,
         backbone_dcn_stages=(), embed_dims=cfg.embed_dims,
         num_heads=cfg.num_heads, num_points=cfg.num_points,
         strides=cfg.strides, output_stride=cfg.output_stride,
         num_attrs=cfg.num_attrs, dcn_on_last_conv=False,
+        use_cls_emb=cfg.use_cls_emb, dim_cls_agnostic=cfg.dim_cls_agnostic,
+        offset_cls_agnostic=cfg.offset_cls_agnostic,
         detector_cfg=dict(
             feat_channels=64, emb_channels=cfg.embed_dims, cls_branch=(64,),
             centerness_branch=(32,), offset_branch=(64,), emb_branch=(64,),
-            regress_ranges=((-1, 24), (24, 48), (48, 1e8))))
+            regress_ranges=ranges))
 
 
 def scenes_to_batch(gen: SyntheticDetSceneGenerator, stacked) -> dtrain.DetBatch:
@@ -193,7 +221,8 @@ def evaluate_nds(results_3d, gt_scenes, score_thr: float = 0.05):
 
 
 def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
-              seed=0, iou_thr=0.25, pallas=False, log=print):
+              seed=0, iou_thr=0.25, pallas=False, log=print,
+              preset='small'):
     """Train the small-but-real Det stack on ``pool * bs`` synthetic
     scenes and score held-out scenes with the devkit-free nuScenes
     metrics after every ``eval_every`` steps.
@@ -201,7 +230,7 @@ def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
     Returns ``{'curve': [(step, metrics), ...], 'best_step', 'ms_per_step',
     **best_metrics}`` — shared by the CLI convergence study and the slow
     floor-asserting test (tests/test_det_synthetic.py)."""
-    cfg = small_cfg(pallas)
+    cfg = PRESETS[preset](pallas)
     model = build_model(cfg)
     gen = SyntheticDetSceneGenerator(im_hw=IM_HW, num_classes=NCLS,
                                      max_gt=GMAX, lidar_points=PTS)
@@ -292,6 +321,8 @@ def main():
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--iou-thr', type=float, default=0.25)
     ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--preset', type=str, default='small',
+                    choices=sorted(PRESETS))
     ap.add_argument('--json-out', type=str, default='')
     args = ap.parse_args()
 
@@ -299,6 +330,7 @@ def main():
                     eval_scenes=args.eval_scenes,
                     eval_every=args.eval_every, seed=args.seed,
                     iou_thr=args.iou_thr, pallas=args.pallas,
+                    preset=args.preset,
                     log=lambda *a: print(*a, flush=True))
     if args.json_out:
         with open(args.json_out, 'w') as f:
