@@ -3,9 +3,11 @@ from .rotate_iou import (  # noqa: F401
     rotated_iou_matrix,
     rotated_iou_pairwise,
 )
-from .nms import nms_rotated, nms_axis_aligned  # noqa: F401
+from .nms import (nms_rotated, nms_axis_aligned,  # noqa: F401
+                  nms_axis_aligned_per_image)
 from .misc import (  # noqa: F401
     batched_bev_nms,
+    batched_bev_nms_per_image,
     bboxes_3d_to_2d,
     compute_box_3d,
     gen_unit_noc,

@@ -211,3 +211,22 @@ def batched_bev_nms(bbox_3d: jnp.ndarray, batch_inds: jnp.ndarray,
     offset = (span * 2.0) * batch_inds.astype(bev.dtype)
     bev = bev.at[:, :2].add(offset[:, None])
     return nms_rotated(bev, bbox_3d[:, 7], nms_thr)
+
+
+def batched_bev_nms_per_image(bbox_3d: jnp.ndarray, class_inds: jnp.ndarray,
+                              n_img: int,
+                              nms_thr: float = 0.25) -> jnp.ndarray:
+    """:func:`batched_bev_nms` vmapped over per-image blocks.
+
+    ``bbox_3d (n_img*k, 8+)`` must be image-contiguous (the
+    ``FCOSEmbHead.get_preds`` layout); ``class_inds`` groups by class
+    WITHIN an image (cross-image suppression is impossible once images
+    are separate vmap lanes, and the smaller coordinate offsets also
+    keep the offset trick well inside f32 resolution). Replaces one
+    O((n_img*k)^2) rotated-IoU matrix with n_img parallel O(k^2) ones.
+    """
+    k = bbox_3d.shape[0] // n_img
+    keep = jax.vmap(lambda b, g: batched_bev_nms(b, g, nms_thr))(
+        bbox_3d.reshape(n_img, k, bbox_3d.shape[-1]),
+        class_inds.reshape(n_img, k))
+    return keep.reshape(-1)

@@ -91,3 +91,24 @@ def nms_axis_aligned(boxes: jnp.ndarray, scores: jnp.ndarray, thresh: float,
     valid = jnp.ones((n,), bool) if valid_mask is None else valid_mask[order]
     keep_sorted = _greedy_suppress(iou, valid, thresh)
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
+def nms_axis_aligned_per_image(boxes: jnp.ndarray, scores: jnp.ndarray,
+                               thresh: float, n_img: int,
+                               valid_mask: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned NMS vmapped over per-image blocks.
+
+    ``boxes (n_img*k, 4)`` must be image-contiguous (objects of image i
+    in slice ``[i*k, (i+1)*k)`` — ``FCOSEmbHead.get_preds`` layout).
+    Cross-image pairs can never suppress each other, so batching the
+    images turns one O((n_img*k)^2) IoU matrix + (n_img*k)-deep greedy
+    scan into n_img independent O(k^2) problems solved in parallel —
+    the flat offset-trick form made serving postprocessing superlinear
+    in batch size.
+    """
+    k = boxes.shape[0] // n_img
+    keep = jax.vmap(
+        lambda b, s, v: nms_axis_aligned(b, s, thresh, valid_mask=v))(
+            boxes.reshape(n_img, k, 4), scores.reshape(n_img, k),
+            valid_mask.reshape(n_img, k))
+    return keep.reshape(-1)

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.bbox_3d.misc import batched_bev_nms, bboxes_3d_to_2d
-from ..core.bbox_3d.nms import nms_axis_aligned
+from ..core.bbox_3d.misc import batched_bev_nms_per_image, bboxes_3d_to_2d
+from ..core.bbox_3d.nms import nms_axis_aligned_per_image
 from ..ops.pnp import (
     AdaptiveHuberPnPCost,
     EProPnP4DoF,
@@ -111,20 +111,20 @@ def make_inference_fn(model, cfg: DetConfig, max_obj_per_img: int = 256,
         combined = score * score_3d
         alive = valid & bbox_2d_mask
 
-        # per-(image, class) 2D NMS via the coordinate-offset trick
-        group = img_inds * cfg.num_classes + labels
+        # per-(image, class) 2D NMS: images via per-image vmap blocks
+        # (get_preds layout), classes via the coordinate-offset trick
         span = jnp.max(bbox_2d) + 1.0
-        boxes_off = bbox_2d + (group.astype(bbox_2d.dtype) * span)[:, None]
-        keep2d = nms_axis_aligned(boxes_off, combined, nms_iou2d,
-                                  valid_mask=alive)
+        boxes_off = bbox_2d + (labels.astype(bbox_2d.dtype) * span)[:, None]
+        keep2d = nms_axis_aligned_per_image(boxes_off, combined, nms_iou2d,
+                                            n_img, valid_mask=alive)
         alive = alive & keep2d
         # BEV NMS (rotated)
         bev_in = jnp.concatenate(
             [bbox_3d, combined[:, None]], axis=-1)
-        keep_bev = batched_bev_nms(
+        keep_bev = batched_bev_nms_per_image(
             jnp.where(alive[:, None], bev_in,
                       jnp.asarray([1, 1, 1, 1e6, 0, 1e6, 0, -1.0])),
-            group, nms_thr=nms_ioubev)
+            labels, n_img, nms_thr=nms_ioubev)
         alive = alive & keep_bev
 
         return DetResults(
@@ -222,16 +222,15 @@ def make_tta_inference_fn(model, cfg: DetConfig, max_obj_per_img: int = 256,
         score = preds['score']
         combined = score * score_3d
         alive = valid & bbox_2d_mask
-        group = img_inds * cfg.num_classes + labels
         span = jnp.max(bbox_2d) + 1.0
-        boxes_off = bbox_2d + (group.astype(bbox_2d.dtype) * span)[:, None]
-        alive = alive & nms_axis_aligned(boxes_off, combined, nms_iou2d,
-                                         valid_mask=alive)
+        boxes_off = bbox_2d + (labels.astype(bbox_2d.dtype) * span)[:, None]
+        alive = alive & nms_axis_aligned_per_image(
+            boxes_off, combined, nms_iou2d, n_img, valid_mask=alive)
         bev_in = jnp.concatenate([bbox_3d, combined[:, None]], axis=-1)
-        alive = alive & batched_bev_nms(
+        alive = alive & batched_bev_nms_per_image(
             jnp.where(alive[:, None], bev_in,
                       jnp.asarray([1, 1, 1, 1e6, 0, 1e6, 0, -1.0])),
-            group, nms_thr=nms_ioubev)
+            labels, n_img, nms_thr=nms_ioubev)
         return DetResults(bbox_3d=bbox_3d, bbox_2d=bbox_2d, scores=score,
                           scores_3d=combined, labels=labels,
                           img_inds=img_inds, velo=velo, attr=attr,

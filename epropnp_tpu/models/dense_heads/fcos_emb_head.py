@@ -289,11 +289,14 @@ class FCOSEmbHead(nn.Module):
 
         Returns dict with (K,)-shaped ``img_inds, score, labels, strides,
         valid`` and a list ``gathered`` of (K, C) arrays; K = bs *
-        max_obj_per_img. Reference: :247-286 (dynamic nonzero -> static
-        top-k with a validity mask).
+        max_obj_per_img, selected top-k PER IMAGE (the reference's
+        per-image thresholding, :247-286: dynamic nonzero -> static top-k
+        with a validity mask). Objects of image i occupy the contiguous
+        slice [i*max_obj_per_img, (i+1)*max_obj_per_img) — downstream
+        NMS exploits this to vmap per image.
         """
         bs = level_outputs[0].cls_score.shape[0]
-        k = max_obj_per_img * bs
+        kpi = max_obj_per_img
 
         def flat(maps):
             return jnp.concatenate(
@@ -308,18 +311,19 @@ class FCOSEmbHead(nn.Module):
             for o, s in zip(level_outputs, self.strides)])
         p = fcos_score.shape[1]
         c = self.num_classes
-        score_flat = fcos_score.reshape(-1)          # (bs*P*C,)
-        masked = jnp.where(score_flat >= min_fcos_score, score_flat, -1.0)
-        top_scores, top_idx = jax.lax.top_k(masked, k)
-        valid = top_scores > 0.0
-        img_inds = top_idx // (p * c)
-        point_inds = (top_idx // c) % p
+        score_img = fcos_score.reshape(bs, p * c)    # per-image candidates
+        masked = jnp.where(score_img >= min_fcos_score, score_img, -1.0)
+        top_scores, top_idx = jax.lax.top_k(masked, kpi)   # (bs, kpi)
+        valid = (top_scores > 0.0).reshape(-1)
+        img_inds = jnp.repeat(jnp.arange(bs), kpi)
+        top_idx = top_idx.reshape(-1)
+        point_inds = top_idx // c
         labels = top_idx % c
 
         out = dict(
             img_inds=img_inds,
             point_inds=point_inds,
-            score=cls.reshape(-1)[top_idx],
+            score=cls[img_inds, point_inds, labels],
             labels=labels,
             strides=strides[point_inds],
             valid=valid,

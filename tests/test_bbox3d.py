@@ -232,3 +232,48 @@ def test_xywhr2xyxyr():
     b = jnp.asarray([[1., 2., 4., 6., 0.3]])
     out = np.asarray(xywhr2xyxyr(b))
     np.testing.assert_allclose(out, [[-1., -1., 3., 5., 0.3]], atol=1e-6)
+
+
+def test_per_image_nms_matches_flat_offset_trick():
+    """nms_axis_aligned_per_image / batched_bev_nms_per_image must equal
+    the flat offset-trick form (group = img * C + label) on image-
+    contiguous inputs — the vmap is a pure O((BK)^2) -> O(BK^2)
+    restructuring, not a semantics change."""
+    from epropnp_tpu.core.bbox_3d import (batched_bev_nms_per_image,
+                                          nms_axis_aligned_per_image)
+    rng = np.random.default_rng(7)
+    n_img, k, n_cls = 3, 24, 2
+    n = n_img * k
+    xy = rng.uniform(0, 80, (n, 2))
+    wh = rng.uniform(4, 30, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=-1)
+    scores = rng.uniform(0.1, 1.0, (n,)).astype(np.float32)
+    labels = rng.integers(0, n_cls, (n,))
+    img_inds = np.repeat(np.arange(n_img), k)
+    valid = rng.uniform(size=n) > 0.15
+    group = img_inds * n_cls + labels
+
+    span = boxes.max() + 1.0
+    flat = np.asarray(nms_axis_aligned(
+        jnp.asarray(boxes + (group * span)[:, None]), jnp.asarray(scores),
+        0.5, valid_mask=jnp.asarray(valid)))
+    per_img = np.asarray(nms_axis_aligned_per_image(
+        jnp.asarray(boxes + (labels * span)[:, None]), jnp.asarray(scores),
+        0.5, n_img, valid_mask=jnp.asarray(valid)))
+    assert (flat == per_img).all()
+
+    # BEV: [l, h, w, x, y, z, ry, score]
+    lhw = rng.uniform(1, 4, (n, 3))
+    xyz = np.concatenate([rng.uniform(-20, 20, (n, 1)),
+                          rng.uniform(-2, 2, (n, 1)),
+                          rng.uniform(5, 45, (n, 1))], axis=-1)
+    ry = rng.uniform(-np.pi, np.pi, (n, 1))
+    bev_in = np.concatenate([lhw, xyz, ry, scores[:, None]],
+                            axis=-1).astype(np.float64)
+    masked = np.where(valid[:, None], bev_in,
+                      np.asarray([1, 1, 1, 1e6, 0, 1e6, 0, -1.0]))
+    flat_bev = np.asarray(batched_bev_nms(
+        jnp.asarray(masked), jnp.asarray(group), nms_thr=0.25))
+    per_img_bev = np.asarray(batched_bev_nms_per_image(
+        jnp.asarray(masked), jnp.asarray(labels), n_img, nms_thr=0.25))
+    assert ((flat_bev & valid) == (per_img_bev & valid)).all()

@@ -31,8 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from epropnp_tpu.core.bbox_3d.misc import batched_bev_nms, bboxes_3d_to_2d
-from epropnp_tpu.core.bbox_3d.nms import nms_axis_aligned
+from epropnp_tpu.core.bbox_3d.misc import (batched_bev_nms_per_image,
+                                           bboxes_3d_to_2d)
+from epropnp_tpu.core.bbox_3d.nms import nms_axis_aligned_per_image
 from epropnp_tpu.det.api import build_detector
 from epropnp_tpu.det.config import DetConfig
 from epropnp_tpu.det.test import build_test_pnp, make_inference_fn
@@ -165,16 +166,15 @@ def main():
             bbox_3d, cam[img_inds], ori_shapes[img_inds])
         combined = preds['score'] * jax.nn.sigmoid(sub.score_pred)
         alive = preds['valid'] & bbox_2d_mask
-        group = img_inds * cfg.num_classes + labels
         span = jnp.max(bbox_2d) + 1.0
-        boxes_off = bbox_2d + (group.astype(bbox_2d.dtype) * span)[:, None]
-        alive = alive & nms_axis_aligned(boxes_off, combined, 0.8,
-                                         valid_mask=alive)
+        boxes_off = bbox_2d + (labels.astype(bbox_2d.dtype) * span)[:, None]
+        alive = alive & nms_axis_aligned_per_image(
+            boxes_off, combined, 0.8, bs, valid_mask=alive)
         bev_in = jnp.concatenate([bbox_3d, combined[:, None]], axis=-1)
-        alive = alive & batched_bev_nms(
+        alive = alive & batched_bev_nms_per_image(
             jnp.where(alive[:, None], bev_in,
                       jnp.asarray([1, 1, 1, 1e6, 0, 1e6, 0, -1.0])),
-            group, nms_thr=0.25)
+            labels, bs, nms_thr=0.25)
         return alive
 
     print(f'devices={jax.devices()}  shape={bs}x{h}x{w}  '
