@@ -212,3 +212,33 @@ def test_optimizer_reference_recipe():
         u0, s0 = tx0.update(grads, s0, params)
     assert float(jnp.abs(u0['head']['linear']['kernel'][0])) == \
         pytest.approx(mags[0][0], rel=0.05)
+
+
+def test_det_train_loop_eval_hook(tmp_path):
+    """Driver-level eval hook (reference evaluation = dict(interval=1,
+    metric='NDS'), configs/epropnp_det_basic.py:223-225): train_loop must
+    invoke eval_fn(state, epoch) every eval_interval epochs after the
+    checkpoint of that epoch, and log its scalar metrics."""
+    from epropnp_tpu.det import main as dmain
+
+    cfg = dataclasses.replace(
+        tiny_cfg(), train=dataclasses.replace(tiny_cfg().train, epochs=2))
+    calls = []
+
+    def eval_fn(state, epoch):
+        calls.append((int(state.step), epoch))
+        return {'NDS': 0.5 + 0.1 * epoch, 'note': 'non-scalar ok'}
+
+    def factory(epoch):
+        return iter([make_batch(seed=10 + epoch)])
+
+    state = dmain.train_loop(
+        cfg, factory, steps_per_epoch=1, save_dir=str(tmp_path),
+        img_hw=(H, W), prefetch=0, log_interval=1,
+        eval_fn=eval_fn, eval_interval=1)
+    # one call per epoch, AFTER that epoch's step (state.step advanced)
+    assert calls == [(1, 0), (2, 1)]
+    assert int(state.step) == 2
+    # checkpoints of both epochs exist alongside the evals
+    assert (tmp_path / 'checkpoint_001.msgpack').exists()
+    assert (tmp_path / 'latest.msgpack').exists()
