@@ -405,6 +405,19 @@ class NuScenes3DDataset:
                     num_pts=int(ann.get('num_pts', 1))))
         return gt_frames, ego_centers
 
+    def build_bikerack_frames(self) -> Optional[Dict[str, List[Dict]]]:
+        """Global-frame bike-rack boxes per sample for the devkit's
+        bicycle/motorcycle-in-rack eval filter, when the converter
+        recorded them (``bike_racks`` info key); None otherwise."""
+        if not any('bike_racks' in info for info in self.data_infos):
+            return None
+        racks: Dict[str, List[Dict]] = {}
+        for info in self.data_infos:
+            token = info['sample_token']
+            if token not in racks:
+                racks[token] = list(info.get('bike_racks', []))
+        return racks
+
     def evaluate(self, results: List[Dict], out_dir: str,
                  eval_version: str = 'detection_cvpr_2019'):
         """Fusion + submission + NDS/mAP.
@@ -448,7 +461,8 @@ class NuScenes3DDataset:
         gt_frames, ego_centers = self.build_global_gt()
         metrics = evaluate_detection(pred_frames, gt_frames,
                                      classes=CLASSES,
-                                     ego_centers=ego_centers)
+                                     ego_centers=ego_centers,
+                                     bikerack_frames=self.build_bikerack_frames())
         metrics['result_path'] = res_path
         metrics['note'] = ('self-contained detection_cvpr_2019 metrics '
                            '(nuscenes devkit unavailable)')

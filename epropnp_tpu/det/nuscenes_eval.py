@@ -20,9 +20,13 @@ Box format (both predictions and GT) — the submission-JSON dict per box:
 additionally carry ``num_pts`` (lidar+radar point count; 0 ⇒ filtered
 out, matching the devkit) and ``ego_translation`` for range filtering.
 
-Known deviation (documented): the devkit also removes bicycles/motor-
-cycles inside bike-rack map polygons from the GT; that needs the map
-layer, absent here. On nuScenes val this affects a small GT subset.
+Bike-rack filtering (devkit ``filter_eval_boxes``, loaders.py): the
+devkit removes bicycle/motorcycle boxes — predictions AND GT — whose
+center lies inside any ``static_object.bicycle_rack`` annotation box of
+the same sample. Supported here via the optional ``bikerack_frames``
+input (sample_token -> list of rack box dicts with translation/size/
+rotation); callers without rack annotations omit it and keep the plain
+range-filtered behavior.
 """
 
 from __future__ import annotations
@@ -129,6 +133,54 @@ def filter_boxes_by_range(
             if dist > class_range.get(b['detection_name'], 50):
                 continue
             if is_gt and b.get('num_pts', 1) == 0:
+                continue
+            kept.append(b)
+        out[token] = kept
+    return out
+
+
+def point_in_box(point: Sequence[float], box: Dict) -> bool:
+    """Devkit ``points_in_box`` for a single point: is ``point`` inside
+    the oriented 3D box (translation, size=(w,l,h), rotation=wxyz)?
+
+    The box frame has x along length, y along width, z along height
+    (devkit Box.corners convention)."""
+    t = np.asarray(box['translation'], np.float64)
+    w, l, h = np.asarray(box['size'], np.float64)
+    qw, qx, qy, qz = np.asarray(box['rotation'], np.float64)
+    # rotate (point - t) into the box frame with R^T
+    r = np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)]])
+    local = r.T @ (np.asarray(point, np.float64) - t)
+    return bool(abs(local[0]) <= l / 2 and abs(local[1]) <= w / 2
+                and abs(local[2]) <= h / 2)
+
+
+_BIKERACK_CLASSES = ('bicycle', 'motorcycle')
+
+
+def filter_bike_racks(frames: Dict[str, List[Dict]],
+                      bikerack_frames: Dict[str, List[Dict]]
+                      ) -> Dict[str, List[Dict]]:
+    """Devkit bike-rack filtering (``filter_eval_boxes``): drop bicycle/
+    motorcycle boxes whose center is inside any bike-rack box of the
+    same sample. Applied by the devkit to predictions and GT alike."""
+    out = {}
+    for token, boxes in frames.items():
+        racks = bikerack_frames.get(token, ())
+        if not racks:
+            out[token] = list(boxes)
+            continue
+        kept = []
+        for b in boxes:
+            if (b['detection_name'] in _BIKERACK_CLASSES
+                    and any(point_in_box(b['translation'], rack)
+                            for rack in racks)):
                 continue
             kept.append(b)
         out[token] = kept
@@ -263,7 +315,8 @@ def evaluate_detection(
         dist_ths: Sequence[float] = DIST_THS,
         tp_dist_th: float = TP_DIST_TH,
         ego_centers: Optional[Dict[str, Sequence[float]]] = None,
-        class_range: Optional[Dict[str, float]] = None) -> Dict:
+        class_range: Optional[Dict[str, float]] = None,
+        bikerack_frames: Optional[Dict[str, List[Dict]]] = None) -> Dict:
     """Full detection_cvpr_2019 evaluation without the devkit.
 
     Args:
@@ -274,6 +327,12 @@ def evaluate_detection(
       ego_centers: optional sample_token -> ego (x, y) for devkit-style
         range filtering of BOTH sets; when None, boxes are assumed
         pre-filtered.
+      bikerack_frames: optional sample_token -> bike-rack annotation
+        boxes (translation/size/rotation dicts). When given, bicycle/
+        motorcycle boxes centered inside a rack are dropped from BOTH
+        sets (devkit ``filter_eval_boxes`` bike-rack step); when None,
+        no rack filtering happens (documented deviation for callers
+        without rack annotations).
 
     Returns a metrics_summary-style dict: mean_ap, nd_score, tp_errors
     (mATE/mASE/mAOE/mAVE/mAAE), label_aps, label_tp_errors.
@@ -286,6 +345,9 @@ def evaluate_detection(
                                           class_range, is_gt=True)
         pred_frames = filter_boxes_by_range(pred_frames, ego_centers,
                                             class_range, is_gt=False)
+    if bikerack_frames is not None:
+        gt_frames = filter_bike_racks(gt_frames, bikerack_frames)
+        pred_frames = filter_bike_racks(pred_frames, bikerack_frames)
     # every GT sample must be scored, even with zero predictions there
     pred_frames = {t: pred_frames.get(t, []) for t in gt_frames}
 

@@ -16,8 +16,8 @@ import pytest
 from epropnp_tpu.det import nuscenes_dataset as nus
 from epropnp_tpu.det.nuscenes_eval import (
     accumulate, attr_acc, calc_ap, calc_tp, cummean, evaluate_detection,
-    filter_boxes_by_range, quaternion_yaw, scale_iou, velocity_l2,
-    yaw_diff)
+    filter_bike_racks, filter_boxes_by_range, point_in_box,
+    quaternion_yaw, scale_iou, velocity_l2, yaw_diff)
 
 
 def box(x, y, name='car', score=None, size=(2., 4., 1.5), yaw=0.0,
@@ -80,6 +80,47 @@ def test_range_filter_and_numpts():
 
 
 # ------------------------------------------------- hand-computed AP / TP
+
+def test_point_in_box_rotated():
+    # rack at (10, 0), size w=1 (y), l=4 (x), h=2, rotated 90deg about z:
+    # in world coords the long axis now runs along +y
+    rack = dict(translation=[10.0, 0.0, 0.0], size=[1.0, 4.0, 2.0],
+                rotation=[np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)])
+    assert point_in_box([10.0, 1.8, 0.0], rack)       # along rotated length
+    assert not point_in_box([11.8, 0.0, 0.0], rack)   # outside rotated width
+    assert not point_in_box([10.0, 1.8, 1.5], rack)   # above the box
+    assert point_in_box([10.3, -1.9, -0.9], rack)
+
+
+def test_bike_rack_filter_semantics():
+    rack = dict(translation=[10.0, 0.0, 0.0], size=[4.0, 4.0, 2.0],
+                rotation=[1.0, 0.0, 0.0, 0.0])
+    frames = {'t': [
+        box(10, 0, name='bicycle'),       # inside rack -> dropped
+        box(10, 1, name='motorcycle'),    # inside rack -> dropped
+        box(10, 0, name='car'),           # non-bike class kept
+        box(30, 0, name='bicycle'),       # outside rack -> kept
+    ], 'u': [box(10, 0, name='bicycle')]}  # sample without racks: kept
+    out = filter_bike_racks(frames, {'t': [rack]})
+    assert [b['detection_name'] for b in out['t']] == ['car', 'bicycle']
+    assert out['t'][1]['translation'][0] == 30
+    assert len(out['u']) == 1
+
+
+def test_bike_rack_filter_in_evaluate_detection():
+    # one bicycle GT inside a rack + a matching prediction: with the rack
+    # both disappear (no GT -> zero-AP no_predictions path); without it
+    # the prediction matches perfectly
+    gt = {'t': [box(10, 0, name='bicycle', attr='')]}
+    pred = {'t': [box(10, 0, name='bicycle', score=0.9, attr='')]}
+    rack = dict(translation=[10.0, 0.0, 0.0], size=[4.0, 4.0, 2.0],
+                rotation=[1.0, 0.0, 0.0, 0.0])
+    with_rack = evaluate_detection(pred, gt, classes=['bicycle'],
+                                   bikerack_frames={'t': [rack]})
+    without = evaluate_detection(pred, gt, classes=['bicycle'])
+    assert with_rack['mean_ap'] == 0.0
+    assert without['mean_ap'] > 0.9
+
 
 def test_perfect_predictions_give_nds_one():
     gt = {'s1': [box(0, 0), box(10, 0)],

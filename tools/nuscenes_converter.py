@@ -55,6 +55,18 @@ def convert(root: str, version: str, out_prefix: str,
                  else 'val' if scene_name in val_scenes else None)
         if split is None:
             continue
+        # global-frame bike-rack boxes of this sample: the devkit's
+        # filter_eval_boxes drops bicycle/motorcycle eval boxes centered
+        # inside one (nuscenes/eval/common/loaders.py); the self-contained
+        # evaluator reproduces that from these records
+        bike_racks = []
+        for ann_token in sample['anns']:
+            ann = nusc.get('sample_annotation', ann_token)
+            if ann['category_name'] == 'static_object.bicycle_rack':
+                bike_racks.append(dict(
+                    translation=[float(v) for v in ann['translation']],
+                    size=[float(v) for v in ann['size']],
+                    rotation=[float(v) for v in ann['rotation']]))
         for cam in CAMS:
             sd = nusc.get('sample_data', sample['data'][cam])
             cs = nusc.get('calibrated_sensor',
@@ -123,6 +135,7 @@ def convert(root: str, version: str, out_prefix: str,
                 ego2global_rotation=pose['rotation'],
                 ego2global_translation=pose['translation'],
                 annotations=anns,
+                bike_racks=bike_racks,
                 version=version)
             if with_obj_points:
                 info['oc_path'] = _write_obj_points(
