@@ -129,3 +129,30 @@ def load_reference_epropnp():
         spec.loader.exec_module(mod)
         setattr(pkg, name, mod)
     return pkg
+
+
+DET_OPS_DIR = "/root/reference/EPro-PnP-Det/epropnp_det/ops"
+
+
+def load_reference_det_op(name):
+    """Load a standalone pure-torch Det-suite op module as an oracle.
+
+    Works for the mmcv-free files (``group_linear``, ``inter_roi_ops``,
+    reference EPro-PnP-Det/epropnp_det/ops/{group_linear,inter_roi_ops}.py);
+    returns None when the checkout or torch is unavailable.
+    """
+    key = f"refdetops_{name}"
+    if key in sys.modules:
+        return sys.modules[key]
+    path = os.path.join(DET_OPS_DIR, name + ".py")
+    if not os.path.isfile(path):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+    spec = importlib.util.spec_from_file_location(key, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    spec.loader.exec_module(mod)
+    return mod

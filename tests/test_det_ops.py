@@ -165,3 +165,82 @@ def test_logsumexp_across_rois_partial_overlap():
                                atol=1e-5)
     # right half of roi0 outside roi1 -> unchanged 0
     np.testing.assert_allclose(out[0, :, rw // 2 + 1:, 0], 0.0, atol=1e-6)
+
+
+# ------------------------------------------ reference torch-module oracles
+
+def test_group_linear_matches_torch_reference():
+    """Randomized-weight parity vs the reference GroupLinear
+    (EPro-PnP-Det/epropnp_det/ops/group_linear.py:29-42)."""
+    from ref_loader import load_reference_det_op
+    ref = load_reference_det_op('group_linear')
+    if ref is None:
+        pytest.skip('reference checkout / torch unavailable')
+    import torch
+    g, din, dout, bs = 8, 64, 40, 12
+    t_mod = ref.GroupLinear(in_features=din, out_features=dout, groups=g)
+    r = np.random.default_rng(3)
+    with torch.no_grad():
+        t_mod.weight.copy_(torch.from_numpy(
+            r.normal(size=(g, dout // g, din // g)).astype(np.float32)))
+        t_mod.bias.copy_(torch.from_numpy(
+            r.normal(size=(g, dout // g)).astype(np.float32)))
+    x = r.normal(size=(bs, din)).astype(np.float32)
+    want = t_mod(torch.from_numpy(x)).detach().numpy()
+
+    gl = GroupLinear(in_features=din, out_features=dout, groups=g)
+    params = gl.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params['params']['weight'] = jnp.asarray(
+        t_mod.weight.detach().numpy())
+    params['params']['bias'] = jnp.asarray(t_mod.bias.detach().numpy())
+    got = np.asarray(gl.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # leading batch dims match the reference's (*, in_features) contract
+    x3 = r.normal(size=(2, 5, din)).astype(np.float32)
+    want3 = t_mod(torch.from_numpy(x3)).detach().numpy()
+    got3 = np.asarray(gl.apply(params, jnp.asarray(x3)))
+    np.testing.assert_allclose(got3, want3, atol=2e-5)
+
+
+def test_logsumexp_across_rois_matches_torch_reference():
+    """Parity vs the reference's per-pair affine_grid/grid_sample loop
+    (EPro-PnP-Det/epropnp_det/ops/inter_roi_ops.py:19-82) on a mixed
+    scene: overlapping pairs, a triple overlap, a lone RoI, and RoIs
+    split across two images."""
+    from ref_loader import load_reference_det_op
+    ref = load_reference_det_op('inter_roi_ops')
+    if ref is None:
+        pytest.skip('reference checkout / torch unavailable')
+    import torch
+    rh = rw = 7
+    chn = 3
+    r = np.random.default_rng(7)
+    boxes = np.asarray([
+        [0., 0., 16., 16.],     # img 0: overlaps the next two
+        [8., 4., 24., 20.],     # img 0
+        [4., 8., 20., 24.],     # img 0 (triple overlap region exists)
+        [40., 40., 56., 56.],   # img 0: lone, must pass through
+        [0., 0., 16., 16.],     # img 1: same box, different image
+        [10., 0., 26., 16.],    # img 1
+    ], np.float32)
+    ids = np.asarray([0, 0, 0, 0, 1, 1], np.int32)
+    x = r.normal(size=(len(boxes), rh, rw, chn)).astype(np.float32)
+
+    t_rois = torch.from_numpy(
+        np.concatenate([ids[:, None].astype(np.float32), boxes], axis=1))
+    t_in = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NHWC -> NCHW
+    want = ref.logsumexp_across_rois(t_in, t_rois).numpy()
+    want = want.transpose(0, 2, 3, 1)
+
+    got = np.asarray(logsumexp_across_rois(
+        jnp.asarray(x), jnp.asarray(boxes), jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # softmax wrapper parity too (inter_roi_ops.py:99-107)
+    want_sm = ref.softmax_across_rois(t_in, t_rois).numpy()
+    want_sm = want_sm.transpose(0, 2, 3, 1)
+    from epropnp_tpu.ops.inter_roi_ops import softmax_across_rois
+    got_sm = np.asarray(softmax_across_rois(
+        jnp.asarray(x), jnp.asarray(boxes), jnp.asarray(ids)))
+    np.testing.assert_allclose(got_sm, want_sm, atol=1e-4)
