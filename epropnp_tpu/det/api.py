@@ -37,9 +37,60 @@ def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
         pred_attr=cfg.pred_attr,
         num_attrs=cfg.num_attrs,
         score_type=cfg.score_type,
+        dcn_modulation_scale=cfg.dcn_modulation_scale,
         backbone_dtype=jnp.bfloat16 if cfg.bf16_backbone else None,
         dense_dtype=jnp.bfloat16 if cfg.bf16_dense else None,
         **overrides)
+
+
+def load_torch_variables(cfg: DetConfig, variables, path: str):
+    """Ingest a torch checkpoint into freshly initialized variables.
+
+    Handles the reference's three weight sources (tools/train.py /
+    tools/test.py + configs/epropnp_det_basic.py:18,254):
+      * torchvision ImageNet ResNet (``conv1.weight`` at the top level) —
+        the ``init_cfg=Pretrained torchvision://resnet101`` backbone init;
+        DCN-stage 3x3 kernels graft into the DeformConv matmul layout
+        with zero offsets (mmcv zero-inits ``conv_offset`` too);
+      * an mmdet backbone(+neck) checkpoint (``backbone.``/``neck.``
+        prefixes);
+      * a full released EProPnPDet checkpoint (+ ``bbox_head.``) — build
+        the model with ``dcn_modulation_scale=1.0`` for exact parity.
+
+    Unmatched leaves keep their fresh init (filtered-restore semantics).
+    """
+    from ..utils import torch_convert as tc
+    sd = tc.load_torch_state_dict(path)
+    dcn_stages = (3, 4)
+    pre_params, pre_stats = {}, {}
+    if 'backbone.conv1.weight' in sd:
+        bb = tc.det_backbone_variables(sd, cfg.backbone_depth, dcn_stages,
+                                       prefix='backbone.')
+        pre_params['backbone'] = bb['params']
+        pre_stats['backbone'] = bb['batch_stats']
+    elif 'conv1.weight' in sd:  # torchvision zoo file
+        bb = tc.det_backbone_variables(sd, cfg.backbone_depth, dcn_stages,
+                                       prefix='')
+        pre_params['backbone'] = bb['params']
+        pre_stats['backbone'] = bb['batch_stats']
+    if 'neck.lateral_convs.0.conv.weight' in sd:
+        first_stage = {4: 1, 8: 2}[cfg.strides[0]]
+        laterals = 5 - first_stage
+        neck = tc.fpn_variables(sd, laterals,
+                                len(cfg.strides) - laterals,
+                                prefix='neck.')
+        pre_params['neck'] = neck['params']
+    if 'bbox_head.query_proj.weight' in sd:
+        head = tc.det_head_variables(sd, prefix='bbox_head.')
+        pre_params['head'] = head['params']
+    if not pre_params:
+        raise ValueError(
+            f'{path}: no recognizable backbone/neck/head keys '
+            '(expected torchvision or mmdet EPro-PnP-Det naming)')
+    pretrained = {'params': pre_params}
+    if pre_stats:
+        pretrained['batch_stats'] = pre_stats
+    return tc.merge_pretrained(dict(variables), pretrained)
 
 
 def init_detector(cfg: DetConfig, checkpoint: Optional[str] = None,
@@ -47,13 +98,20 @@ def init_detector(cfg: DetConfig, checkpoint: Optional[str] = None,
     """Build the model and (optionally) restore parameters.
 
     Returns (model, variables). Reference: apis/inference.py:82-118.
+    ``checkpoint`` accepts both native msgpack checkpoints and torch
+    ``.pth/.pt/.tar`` files (converted via ``load_torch_variables``; the
+    reference loads released torch checkpoints with tools/test.py
+    ``--checkpoint``).
     """
     model = build_detector(cfg, **overrides)
     img = jnp.zeros((1,) + tuple(img_hw) + (3,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, tuple(img_hw))
     variables = dict(variables)
     if checkpoint:
-        variables = load_checkpoint(checkpoint, variables)
+        if checkpoint.endswith(('.pth', '.pt', '.tar')):
+            variables = load_torch_variables(cfg, variables, checkpoint)
+        else:
+            variables = load_checkpoint(checkpoint, variables)
     return model, variables
 
 

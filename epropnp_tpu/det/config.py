@@ -82,6 +82,10 @@ class DetConfig:
     num_attrs: int = 9
     score_type: str = 'te'
     with_loss_regr: bool = False
+    # DCN sigmoid-mask multiplier: 2.0 = identity-like zero init for
+    # from-scratch training; 1.0 = mmcv DCNv2 exactly — required when
+    # ingesting converted torch checkpoints (utils/torch_convert).
+    dcn_modulation_scale: float = 2.0
     # Mixed precision: backbone + FPN in bfloat16, heads/PnP in float32.
     bf16_backbone: bool = False
     # Serving mixed precision: run the head's dense stage (FCOS towers

@@ -51,7 +51,8 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
                resume_from: Optional[str] = None,
                data_parallel: bool = False, log_interval: int = 50,
                seed: int = 0, prefetch: int = 2, ckpt_interval: int = 1,
-               eval_fn=None, eval_interval: int = 1):
+               eval_fn=None, eval_interval: int = 1,
+               load_torch: Optional[str] = None):
     """``batch_iter_factory(epoch) -> iterator of DetBatch``.
 
     ``prefetch`` > 0 advances the factory's iterator on a background
@@ -68,11 +69,26 @@ def train_loop(cfg: DetConfig, batch_iter_factory, steps_per_epoch: int,
     Default ``img_hw`` is the reference input geometry: 1600x900 frames
     sky-cropped to 1600x672 by ``Crop3D`` (crop_box=(0, 228, 1600, 900),
     basic.py:173,190).
+
+    ``load_torch`` grafts a converted torch checkpoint (torchvision
+    ImageNet backbone / mmdet backbone+neck / full released Det model)
+    onto the fresh init before training — the reference starts from
+    ``init_cfg=Pretrained torchvision://resnet101``
+    (configs/epropnp_det_basic.py:18).
     """
     logger = get_logger('epropnp_tpu.det', save_dir)
     model = build_detector(cfg)
     tx = dtrain.make_optimizer(cfg, steps_per_epoch)
-    state = init_state(cfg, model, tx, img_hw, jax.random.PRNGKey(seed))
+    rng0 = jax.random.PRNGKey(seed)
+    if load_torch:
+        from .api import load_torch_variables
+        img = jnp.zeros((1,) + tuple(img_hw) + (3,), jnp.float32)
+        variables = dict(model.init(rng0, img, tuple(img_hw)))
+        variables = load_torch_variables(cfg, variables, load_torch)
+        state = dtrain.DetTrainState.create(variables, tx)
+        logger.info('grafted torch weights from %s', load_torch)
+    else:
+        state = init_state(cfg, model, tx, img_hw, rng0)
     if resume_from:
         state = load_checkpoint(resume_from, state)
         logger.info('resumed from %s', resume_from)

@@ -58,6 +58,9 @@ class Bottleneck(nn.Module):
     filters: int  # bottleneck width; output channels = 4 * filters
     strides: int = 1
     use_dcn: bool = False  # deformable 3x3 (reference R101-DCN stages 3-4)
+    # sigmoid-mask multiplier of the DCN: 2.0 = identity-like zero init
+    # (from-scratch default), 1.0 = mmcv DCNv2 exactly (converted ckpts)
+    dcn_modulation_scale: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,9 +71,14 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
-        if self.use_dcn and self.strides == 1:
+        if self.use_dcn:
+            # incl. the stride-2 first block: the reference configs keep
+            # DCN on the strided conv2 (fallback_on_stride=False,
+            # configs/epropnp_det_basic.py:16)
             from ...ops.deform_conv import DeformConv
-            y = DeformConv(self.filters, dtype=self.dtype)(y)
+            y = DeformConv(self.filters, strides=self.strides,
+                           modulation_scale=self.dcn_modulation_scale,
+                           dtype=self.dtype)(y)
         else:
             y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
                         padding=1, use_bias=False, dtype=self.dtype)(y)
@@ -102,6 +110,7 @@ class ResNetBackbone(nn.Module):
     depth: int = 34
     out_indices: Sequence[int] = (4,)
     dcn_stages: Sequence[int] = ()  # 1-based stages using deformable conv
+    dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,6 +133,8 @@ class ResNetBackbone(nn.Module):
                 kwargs = {}
                 if block is Bottleneck and stage in self.dcn_stages:
                     kwargs['use_dcn'] = True
+                    kwargs['dcn_modulation_scale'] = \
+                        self.dcn_modulation_scale
                 x = block(channels, strides if i == 0 else 1,
                           dtype=self.dtype,
                           name=f'layer{stage}_block{i}', **kwargs)(x,

@@ -142,6 +142,7 @@ class DeformPnPHead(nn.Module):
     score_type: str = 'te'
     detector_cfg: Any = None       # dict of FCOSEmbHead overrides
     dcn_on_last_conv: bool = True
+    dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
     dtype: Any = jnp.float32
     # Serving mixed precision for the dense stage (FCOS towers + dense
     # conv/upsample/key-value maps); outputs are cast back to ``dtype``.
@@ -155,6 +156,7 @@ class DeformPnPHead(nn.Module):
                                                      self.det_lvl_range[1]]),
                           emb_channels=self.embed_dims,
                           dcn_on_last_conv=self.dcn_on_last_conv,
+                          dcn_modulation_scale=self.dcn_modulation_scale,
                           dtype=self.dtype,
                           dense_dtype=self.dense_dtype)
         if self.detector_cfg:
@@ -165,10 +167,11 @@ class DeformPnPHead(nn.Module):
             nn.Conv(ch, (3, 3), padding=1, use_bias=False, dtype=ddt,
                     name=f'dense_conv{i}')
             for i, ch in enumerate(self.lvl_feat_channels)]
+        # bias-free like the reference ConvModule (bias='auto' + GN)
         self.conv_upsampled = nn.Conv(
-            self.dense_channels, (1, 1), dtype=ddt,
+            self.dense_channels, (1, 1), use_bias=False, dtype=ddt,
             name='conv_upsampled')
-        self.conv_upsampled_gn = nn.GroupNorm(32, dtype=ddt,
+        self.conv_upsampled_gn = nn.GroupNorm(32, epsilon=1e-5, dtype=ddt,
                                               name='conv_upsampled_gn')
         self.k_proj = nn.Conv(self.embed_dims, (1, 1), dtype=ddt,
                               name='k_proj')
@@ -247,7 +250,10 @@ class DeformPnPHead(nn.Module):
                 f, (f.shape[0], h0, w0, f.shape[-1]), 'bilinear')
             for f in dense_feats[1:]]
         concat = jnp.concatenate(ups, axis=-1)
-        concat = self.conv_upsampled_gn(self.conv_upsampled(concat))
+        # mmcv ConvModule: conv -> GN -> default ReLU (_init_out_layers,
+        # deform_pnp_head.py:277-284)
+        concat = nn.relu(
+            self.conv_upsampled_gn(self.conv_upsampled(concat)))
 
         posenc = dense_posenc(h0, w0, img_shape[0], img_shape[1],
                               num_feats=self._posenc_feats,

@@ -70,6 +70,7 @@ class FCOSEmbHead(nn.Module):
     min_ref_length: float = 4.0
     offset_cls_agnostic: bool = True
     dcn_on_last_conv: bool = True
+    dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
     cls_branch: Sequence[int] = (256,)
     centerness_branch: Sequence[int] = (64,)
     offset_branch: Sequence[int] = (256,)
@@ -87,14 +88,16 @@ class FCOSEmbHead(nn.Module):
         convs = []
         for i in range(self.stacked_convs):
             if self.dcn_on_last_conv and i == self.stacked_convs - 1:
-                convs.append(DeformConv(self.feat_channels, dtype=ddt,
-                                        name=f'{name}_dcn{i}'))
+                convs.append(DeformConv(
+                    self.feat_channels,
+                    modulation_scale=self.dcn_modulation_scale,
+                    dtype=ddt, name=f'{name}_dcn{i}'))
             else:
                 convs.append(nn.Conv(self.feat_channels, (3, 3), padding=1,
                                      use_bias=False, dtype=ddt,
                                      name=f'{name}_conv{i}'))
             convs.append(nn.GroupNorm(_gn_groups(self.feat_channels),
-                                      dtype=ddt,
+                                      epsilon=1e-5, dtype=ddt,
                                       name=f'{name}_gn{i}'))
         return convs
 
@@ -104,7 +107,7 @@ class FCOSEmbHead(nn.Module):
             mods.append((
                 nn.Conv(ch, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, name=f'{name}_conv{i}'),
-                nn.GroupNorm(_gn_groups(ch), dtype=self.dtype,
+                nn.GroupNorm(_gn_groups(ch), epsilon=1e-5, dtype=self.dtype,
                              name=f'{name}_gn{i}')))
         return mods
 
@@ -136,7 +139,8 @@ class FCOSEmbHead(nn.Module):
         conv_emb = nn.Conv(self.emb_channels, (1, 1), use_bias=False,
                            dtype=self.dtype, name='conv_emb')
         conv_emb_gn = nn.GroupNorm(_gn_groups(self.emb_channels),
-                                   dtype=self.dtype, name='conv_emb_gn')
+                                   epsilon=1e-5, dtype=self.dtype,
+                                   name='conv_emb_gn')
 
         ddt = self.dense_dtype or self.dtype
         outs = []
@@ -159,8 +163,10 @@ class FCOSEmbHead(nn.Module):
                 self._apply_branch(ctr_branch, reg_feat))
             offset = conv_offset(
                 self._apply_branch(off_branch, reg_feat)) * stride
-            obj_emb = conv_emb_gn(conv_emb(
-                self._apply_branch(emb_branch, reg_feat)))
+            # conv_emb is an mmcv ConvModule (conv -> GN -> default ReLU,
+            # fcos_emb_head.py:109-117) — the ReLU is part of the module
+            obj_emb = nn.relu(conv_emb_gn(conv_emb(
+                self._apply_branch(emb_branch, reg_feat))))
 
             n, h, w, _ = x.shape
             pts = level_points(h, w, stride, self.dtype)

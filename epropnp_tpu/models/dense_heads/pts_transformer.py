@@ -39,8 +39,10 @@ class PtsTransformerLayer(nn.Module):
         out = (attn @ split(v)).transpose(0, 2, 1, 3).reshape(x.shape)
         out = nn.Dense(self.embed_dims, dtype=self.dtype,
                        name='out_proj')(out)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x + out)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name='norm1')(x + out)
         ffn = nn.Dense(self.ffn_dims, dtype=self.dtype, name='ffn1')(x)
         ffn = nn.relu(ffn)
         ffn = nn.Dense(self.embed_dims, dtype=self.dtype, name='ffn2')(ffn)
-        return nn.LayerNorm(dtype=self.dtype, name='norm2')(x + ffn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name='norm2')(x + ffn)

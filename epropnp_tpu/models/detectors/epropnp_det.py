@@ -41,6 +41,7 @@ class EProPnPDet(nn.Module):
     num_attrs: int = 9
     score_type: str = 'te'
     dcn_on_last_conv: bool = True
+    dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
     detector_cfg: Any = None  # extra FCOSEmbHead overrides (dict)
     dtype: Any = jnp.float32
     # Mixed-precision recipe: backbone + FPN in bfloat16 (params stay
@@ -70,7 +71,8 @@ class EProPnPDet(nn.Module):
         self.backbone = ResNetBackbone(
             depth=self.backbone_depth,
             out_indices=tuple(range(first_stage, 5)),
-            dcn_stages=self.backbone_dcn_stages, dtype=bdt)
+            dcn_stages=self.backbone_dcn_stages,
+            dcn_modulation_scale=self.dcn_modulation_scale, dtype=bdt)
         spec_mult = 1 if self.backbone_depth in (18, 34) else 4
         in_ch = tuple(c * spec_mult
                       for c in (64, 128, 256, 512)[first_stage - 1:])
@@ -99,6 +101,7 @@ class EProPnPDet(nn.Module):
             num_attrs=self.num_attrs,
             score_type=self.score_type,
             dcn_on_last_conv=self.dcn_on_last_conv,
+            dcn_modulation_scale=self.dcn_modulation_scale,
             detector_cfg=dict(
                 offset_cls_agnostic=self.offset_cls_agnostic,
                 **(self.detector_cfg or {})),

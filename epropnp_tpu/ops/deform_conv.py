@@ -21,7 +21,14 @@ from .bilinear_sample import bilinear_sample_packed
 
 
 class DeformConv(nn.Module):
-    """3x3 modulated deformable conv (DCNv2), stride 1, NHWC.
+    """3x3 modulated deformable conv (DCNv2), NHWC.
+
+    ``strides`` > 1 samples at the strided output grid (the reference
+    backbone's stage-3/4 FIRST blocks are stride-2 DCNv2: the configs set
+    ``fallback_on_stride=False``, configs/epropnp_det_basic.py:16, so
+    mmdet keeps DCN on the strided conv2). Padding follows torch
+    ``padding=1`` semantics: output (i, j) is centered at input
+    (i * stride, j * stride).
 
     ``fused`` selects the TPU Pallas contraction kernel
     (ops/pallas_dcn.py): the bilinear corner combine + tap matmul run in
@@ -35,6 +42,7 @@ class DeformConv(nn.Module):
 
     features: int
     kernel_size: int = 3
+    strides: int = 1
     use_modulation: bool = True
     # modulation = sigmoid(mask) * modulation_scale. 2.0 (default) makes
     # the zero-init identity-like (mod=1) for from-scratch training;
@@ -48,29 +56,33 @@ class DeformConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, h, w, c_in = x.shape
         k = self.kernel_size
+        s = self.strides
         taps = k * k
+        half = (k - 1) // 2
+        # torch padding=1 geometry: out (i, j) centered at input (si, sj)
+        ho = (h + 2 * half - k) // s + 1
+        wo = (w + 2 * half - k) // s + 1
 
         off_ch = taps * (3 if self.use_modulation else 2)
         offset_mask = nn.Conv(
-            off_ch, (k, k), padding='SAME', dtype=self.dtype,
+            off_ch, (k, k), (s, s), padding=half, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, name='conv_offset')(x)
-        offsets = offset_mask[..., :taps * 2].reshape(n, h, w, taps, 2)
+        offsets = offset_mask[..., :taps * 2].reshape(n, ho, wo, taps, 2)
         if self.use_modulation:
             mod = jax.nn.sigmoid(offset_mask[..., taps * 2:]) \
                 * self.modulation_scale
         else:
-            mod = jnp.ones((n, h, w, taps), self.dtype)
+            mod = jnp.ones((n, ho, wo, taps), self.dtype)
 
-        half = (k - 1) // 2
         base = jnp.stack(jnp.meshgrid(
             jnp.arange(-half, half + 1, dtype=self.dtype),
             jnp.arange(-half, half + 1, dtype=self.dtype),
             indexing='ij'), axis=-1)[..., ::-1].reshape(taps, 2)  # [x, y]
-        ys = jnp.arange(h, dtype=self.dtype)
-        xs = jnp.arange(w, dtype=self.dtype)
+        ys = jnp.arange(ho, dtype=self.dtype) * s
+        xs = jnp.arange(wo, dtype=self.dtype) * s
         yy, xx = jnp.meshgrid(ys, xs, indexing='ij')
-        grid = jnp.stack([xx, yy], axis=-1)  # (h, w, 2) in [x, y]
-        coords = grid[None, :, :, None, :] + base + offsets  # (n,h,w,taps,2)
+        grid = jnp.stack([xx, yy], axis=-1)  # (ho, wo, 2) in [x, y]
+        coords = grid[None, :, :, None, :] + base + offsets
 
         kernel = self.param(
             'kernel', nn.initializers.he_normal(),
@@ -97,15 +109,15 @@ class DeformConv(nn.Module):
             rows = rows + (jnp.arange(n, dtype=rows.dtype)
                            * rows_per_img)[:, None, None, None]
             # tap-major so each tap's rows form one contiguous block
-            rows = rows.reshape(n * h * w, taps).T
-            w4 = w4.reshape(n * h * w, taps, 4).swapaxes(0, 1)
+            rows = rows.reshape(n * ho * wo, taps).T
+            w4 = w4.reshape(n * ho * wo, taps, 4).swapaxes(0, 1)
             out = dcn_gather_contract(packed.reshape(-1, 4 * c_in),
                                       rows, w4, kern3)
-            return out.reshape(n, h, w, self.features) + bias
+            return out.reshape(n, ho, wo, self.features) + bias
 
         sampled = jax.vmap(
             lambda feat, crd: bilinear_sample_packed(feat, crd, 'zeros')
-        )(x, coords)  # (n, h, w, taps, c_in)
+        )(x, coords)  # (n, ho, wo, taps, c_in)
         sampled = sampled * mod[..., None]
-        out = sampled.reshape(n, h, w, taps * c_in) @ kernel
+        out = sampled.reshape(n, ho, wo, taps * c_in) @ kernel
         return out + bias

@@ -93,10 +93,12 @@ class DeformableAttentionSampler(nn.Module):
             num_obj, self.embed_dims)
         out = nn.Dense(self.embed_dims, dtype=self.dtype,
                        name='out_proj')(out) + obj_emb
-        out = nn.LayerNorm(dtype=self.dtype, name='norm1')(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                           name='norm1')(out)
         ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name='ffn1')(out)
         ffn = nn.relu(ffn)
         ffn = nn.Dense(self.embed_dims, dtype=self.dtype, name='ffn2')(ffn)
-        out = nn.LayerNorm(dtype=self.dtype, name='norm2')(out + ffn)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                           name='norm2')(out + ffn)
         return SamplerOutputs(out, v_samples, a_samples, mask_samples,
                               x2d_samples)

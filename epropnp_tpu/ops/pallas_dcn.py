@@ -70,8 +70,17 @@ def _contract_pallas(g: jnp.ndarray, w4: jnp.ndarray, kern: jnp.ndarray,
     c = c4 // 4
     cout = kern.shape[-1]
     if block_l is None:
-        # VMEM: g block taps*bl*4c*itemsize double-buffered + kern resident.
-        block_l = 128 if g.dtype.itemsize <= 2 else 64
+        # VMEM budget: g/w4/out blocks are double-buffered by the
+        # pipeline, the kernel block is resident. Size bl to stay under
+        # the ~16M scoped-vmem limit (wide stage-4 blocks at f32 need
+        # bl < 64: taps=9, 4c=2048, cout=512 puts the kernel alone at
+        # 9.4M).
+        limit = 13 * 1024 * 1024
+        kern_bytes = taps * c * cout * kern.dtype.itemsize
+        per_row = 2 * taps * (c4 * g.dtype.itemsize + 4 * 4) \
+            + 2 * cout * g.dtype.itemsize
+        block_l = int(max(8, min(128, (limit - kern_bytes) // per_row)))
+        block_l -= block_l % 8
     pad = (-length) % block_l
     if pad:
         g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))

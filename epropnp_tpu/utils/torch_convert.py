@@ -216,6 +216,16 @@ def _deform_conv_variables(sd: Dict, t: str, features: int) -> Dict:
     taps = w.shape[2] * w.shape[3]
     kernel = conv_kernel(w).reshape(taps * w.shape[1], w.shape[0])
     bias = sd.get(f'{t}.bias', np.zeros(features, w.dtype))
+    if f'{t}.conv_offset.weight' not in sd:
+        # plain-conv source (torchvision ImageNet init): zero offset/mask
+        # logits reproduce mmcv's zero-init conv_offset (output = sigmoid
+        # (0) * modulation_scale * conv = the original dense conv at our
+        # from-scratch default scale 2.0, or mmcv's 0.5x at scale 1.0)
+        off_w = np.zeros((3 * taps,) + w.shape[1:], w.dtype)
+        off_b = np.zeros(3 * taps, w.dtype)
+        return {'kernel': np.ascontiguousarray(kernel), 'bias': bias,
+                'conv_offset': {'kernel': conv_kernel(off_w),
+                                'bias': off_b}}
     off_w = sd[f'{t}.conv_offset.weight']
     off_b = sd[f'{t}.conv_offset.bias']
     perm = [2 * i + (1 - j) for i in range(taps) for j in range(2)] \
@@ -245,11 +255,9 @@ def det_backbone_variables(sd: Dict[str, np.ndarray], depth: int = 101,
         n_blocks = stage_sizes[stage - 1]
         width = stage_channels[stage - 1]
         for i in range(n_blocks):
-            # stride-0 blocks in the reference keep plain conv when
-            # fallback_on_stride is unset; DCNv2 applies to stride-1
-            # blocks (our Bottleneck mirrors this: use_dcn and strides==1)
-            if i == 0:
-                continue
+            # ALL blocks of a DCN stage are DCNv2, incl. the stride-2
+            # first block (fallback_on_stride=False in every reference
+            # config); plain-conv sources get zero-init offsets
             t = f'{p}layer{stage}.{i}'
             f = f'layer{stage}_block{i}'
             bp = params[f]
@@ -284,6 +292,195 @@ def fpn_variables(sd: Dict[str, np.ndarray], num_laterals: int = 4,
             'kernel': conv_kernel(sd[f'{t}.weight']),
             'bias': sd[f'{t}.bias']}
     return {'params': params}
+
+
+def _gn(sd: Dict, name: str) -> Dict:
+    """mmcv norm layer (GN/LN) -> flax GroupNorm/LayerNorm params."""
+    return {'scale': sd[f'{name}.weight'], 'bias': sd[f'{name}.bias']}
+
+
+def _linear(sd: Dict, name: str) -> Dict:
+    return {'kernel': dense_kernel(sd[f'{name}.weight']),
+            'bias': sd[f'{name}.bias']}
+
+
+def _conv(sd: Dict, name: str, bias: bool = True) -> Dict:
+    out = {'kernel': conv_kernel(sd[f'{name}.weight'])}
+    if bias and f'{name}.bias' in sd:
+        out['bias'] = sd[f'{name}.bias']
+    return out
+
+
+def fcos_emb_head_variables(sd: Dict[str, np.ndarray],
+                            prefix: str = 'bbox_head.detector.',
+                            stacked_convs: int = 2,
+                            dcn_on_last_conv: bool = True,
+                            branch_lens: Dict[str, int] = None) -> Dict:
+    """Reference FCOSEmbHead state dict -> our ``FCOSEmbHead`` params.
+
+    mmdet naming (fcos_emb_head.py ``_init_predictor``/``_init_branch``
+    + AnchorFreeHead ``_init_cls_convs``/``_init_reg_convs``):
+    ``cls_convs.{i}.conv`` / ``.gn`` towers (last conv = DCNv2 when
+    ``dcn_on_last_conv``), ``conv_*_prev.{j}.conv/.gn`` branches, 1x1
+    predictors ``conv_cls/conv_centerness/conv_offset`` and the
+    GN-wrapped ``conv_emb``. GroupNorm only — no batch_stats.
+    """
+    p = prefix
+    branch_lens = branch_lens or {}
+    params = {}
+    for tower, ours in (('cls_convs', 'cls'), ('reg_convs', 'reg')):
+        for i in range(stacked_convs):
+            t = f'{p}{tower}.{i}'
+            if dcn_on_last_conv and i == stacked_convs - 1:
+                w = sd[f'{t}.conv.weight']
+                params[f'{ours}_dcn{i}'] = _deform_conv_variables(
+                    sd, f'{t}.conv', w.shape[0])
+            else:
+                params[f'{ours}_conv{i}'] = _conv(sd, f'{t}.conv',
+                                                  bias=False)
+            params[f'{ours}_gn{i}'] = _gn(sd, f'{t}.gn')
+    for torch_br, ours in (('conv_cls_prev', 'cls_br'),
+                           ('conv_centerness_prev', 'ctr_br'),
+                           ('conv_offset_prev', 'off_br'),
+                           ('conv_emb_prev', 'emb_br')):
+        for j in range(branch_lens.get(ours, 1)):
+            t = f'{p}{torch_br}.{j}'
+            params[f'{ours}_conv{j}'] = _conv(sd, f'{t}.conv', bias=False)
+            params[f'{ours}_gn{j}'] = _gn(sd, f'{t}.gn')
+    params['conv_cls'] = _conv(sd, f'{p}conv_cls')
+    params['conv_centerness'] = _conv(sd, f'{p}conv_centerness')
+    params['conv_offset'] = _conv(sd, f'{p}conv_offset')
+    params['conv_emb'] = _conv(sd, f'{p}conv_emb.conv', bias=False)
+    params['conv_emb_gn'] = _gn(sd, f'{p}conv_emb.gn')
+    return {'params': params}
+
+
+def attention_sampler_variables(sd: Dict[str, np.ndarray],
+                                prefix: str = 'bbox_head.attention_sampler.'
+                                ) -> Dict:
+    """Reference DeformableAttentionSampler state dict -> our params.
+
+    deformable_attention_sampler.py:40-44: ``sampling_offsets``/
+    ``out_proj`` Linears, ``layer_norms.{0,1}`` LNs around an mmcv FFN
+    (``ffn.layers.0.0`` / ``ffn.layers.1`` Linears).
+    """
+    p = prefix
+    return {'params': {
+        'sampling_offsets': _linear(sd, f'{p}sampling_offsets'),
+        'out_proj': _linear(sd, f'{p}out_proj'),
+        'norm1': _gn(sd, f'{p}layer_norms.0'),
+        'ffn1': _linear(sd, f'{p}ffn.layers.0.0'),
+        'ffn2': _linear(sd, f'{p}ffn.layers.1'),
+        'norm2': _gn(sd, f'{p}layer_norms.1'),
+    }}
+
+
+def pts_transformer_variables(sd: Dict[str, np.ndarray],
+                              prefix: str) -> Dict:
+    """mmcv BaseTransformerLayer (self_attn, norm, ffn, norm) -> our
+    ``PtsTransformerLayer`` params.
+
+    The torch ``nn.MultiheadAttention`` packs q/k/v projections into
+    ``in_proj_weight`` (3E, E) rows [q; k; v] — split into our three
+    Dense layers. FFN/norm naming per mmcv: ``ffns.0.layers.0.0``,
+    ``ffns.0.layers.1``, ``norms.{0,1}``.
+    """
+    p = prefix
+    w = sd[f'{p}attentions.0.attn.in_proj_weight']
+    b = sd[f'{p}attentions.0.attn.in_proj_bias']
+    e = w.shape[1]
+    parts = {}
+    for i, name in enumerate(('q_proj', 'k_proj', 'v_proj')):
+        parts[name] = {'kernel': dense_kernel(w[i * e:(i + 1) * e]),
+                       'bias': b[i * e:(i + 1) * e]}
+    parts['out_proj'] = _linear(sd, f'{p}attentions.0.attn.out_proj')
+    parts['norm1'] = _gn(sd, f'{p}norms.0')
+    parts['ffn1'] = _linear(sd, f'{p}ffns.0.layers.0.0')
+    parts['ffn2'] = _linear(sd, f'{p}ffns.0.layers.1')
+    parts['norm2'] = _gn(sd, f'{p}norms.1')
+    return {'params': parts}
+
+
+def det_head_variables(sd: Dict[str, np.ndarray],
+                       prefix: str = 'bbox_head.',
+                       stacked_convs: int = 2,
+                       dcn_on_last_conv: bool = True,
+                       num_lvl_convs: int = 3,
+                       num_pred_fcs: int = 2,
+                       num_pts_trans_layers: int = 1) -> Dict:
+    """Full reference DeformPnPHead state dict -> our head params.
+
+    Covers every parameterized submodule of deform_pnp_head.py
+    ``_init_convs``/``_init_out_layers`` + the constructor modules:
+    dense convs, upsample-concat 1x1 + GN, k/v projections, query
+    scale/proj, pred FCs, dim/score/scale(/velo/attr) branches, optional
+    ``cls_emb``, the attention sampler, per-point transformer stages,
+    x2d positional Linear, and the GroupLinear correspondence
+    regressors. Presence-dependent pieces (cls_emb, velo/attr) are
+    converted iff their keys exist in the checkpoint.
+    """
+    p = prefix
+    params = {
+        'detector': fcos_emb_head_variables(
+            sd, f'{p}detector.', stacked_convs, dcn_on_last_conv
+        )['params'],
+        'attention_sampler': attention_sampler_variables(
+            sd, f'{p}attention_sampler.')['params'],
+        'conv_upsampled': _conv(sd, f'{p}conv_upsampled.conv', bias=False),
+        'conv_upsampled_gn': _gn(sd, f'{p}conv_upsampled.gn'),
+        'k_proj': _conv(sd, f'{p}k_proj'),
+        'v_proj': _conv(sd, f'{p}v_proj'),
+        'query_scale': np.asarray(sd[f'{p}query_scale.scale']),
+        'query_proj': _linear(sd, f'{p}query_proj'),
+        'dim_branch': _linear(sd, f'{p}dim_branch'),
+        'score_branch': _linear(sd, f'{p}score_branch'),
+        'scale_branch': _linear(sd, f'{p}scale_branch'),
+        'x2d_pos_enc': _linear(sd, f'{p}x2d_pos_enc'),
+    }
+    for i in range(num_lvl_convs):
+        params[f'dense_conv{i}'] = _conv(sd, f'{p}convs.{i}.conv',
+                                         bias=False)
+    for i in range(num_pred_fcs):
+        # Sequential(Linear, ReLU, ...) -> indices 0, 2, ...
+        params[f'pred_fc{i}'] = _linear(sd, f'{p}pred_fc.{2 * i}')
+    for i in range(num_pts_trans_layers):
+        params[f'obj_query_scale{i}'] = np.asarray(
+            sd[f'{p}obj_query_scale.{i}.scale'])
+        params[f'pts_trans{i}'] = pts_transformer_variables(
+            sd, f'{p}pts_trans.{i}.')['params']
+    for i in range(num_pts_trans_layers + 1):
+        params[f'corr_reg{i}'] = {
+            'weight': sd[f'{p}corr_regs.{i}.weight'],
+            'bias': sd[f'{p}corr_regs.{i}.bias']}
+    if f'{p}cls_emb' in sd:
+        params['cls_emb'] = sd[f'{p}cls_emb']
+    if f'{p}velo_branch.weight' in sd:
+        params['velo_branch'] = _linear(sd, f'{p}velo_branch')
+    if f'{p}attr_branch.weight' in sd:
+        params['attr_branch'] = _linear(sd, f'{p}attr_branch')
+    return {'params': params}
+
+
+def det_model_variables(sd: Dict[str, np.ndarray], depth: int = 101,
+                        dcn_stages=(3, 4), num_fpn_laterals: int = 4,
+                        num_fpn_extra: int = 2, **head_kwargs) -> Dict:
+    """Full released EProPnPDet checkpoint -> our model variables.
+
+    Combines the backbone/FPN/head converters under the reference's
+    top-level module names (``backbone.``/``neck.``/``bbox_head.``,
+    models/detectors/epropnp_det.py). Feed the result to
+    ``merge_pretrained`` over freshly initialized variables; remember to
+    build the model with ``dcn_modulation_scale=1.0``.
+    """
+    bb = det_backbone_variables(sd, depth, dcn_stages, prefix='backbone.')
+    neck = fpn_variables(sd, num_fpn_laterals, num_fpn_extra,
+                         prefix='neck.')
+    head = det_head_variables(sd, prefix='bbox_head.', **head_kwargs)
+    return {
+        'params': {'backbone': bb['params'], 'neck': neck['params'],
+                   'head': head['params']},
+        'batch_stats': {'backbone': bb['batch_stats']},
+    }
 
 
 def merge_pretrained(variables: Dict, pretrained: Dict,

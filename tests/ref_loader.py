@@ -131,6 +131,100 @@ def load_reference_epropnp():
     return pkg
 
 
+def _install_mmcv_shim():
+    """Register a minimal ``mmcv.cnn`` built on plain torch.
+
+    Covers exactly the surface deformable_attention_sampler.py imports:
+    ``xavier_init``, ``build_norm_layer``, ``build_feedforward_network``
+    (mmcv FFN: Sequential(Sequential(Linear, act, drop) x (num_fcs-1),
+    Linear, drop) with a residual identity) and the ``ATTENTION``
+    registry decorator.
+    """
+    if "mmcv" in sys.modules:
+        return
+    import torch
+
+    class FFN(torch.nn.Module):
+        def __init__(self, embed_dims=256, feedforward_channels=1024,
+                     num_fcs=2, ffn_drop=0.0, **kwargs):
+            super().__init__()
+            layers, in_c = [], embed_dims
+            for _ in range(num_fcs - 1):
+                layers.append(torch.nn.Sequential(
+                    torch.nn.Linear(in_c, feedforward_channels),
+                    torch.nn.ReLU(inplace=True),
+                    torch.nn.Dropout(ffn_drop)))
+                in_c = feedforward_channels
+            layers.append(torch.nn.Linear(in_c, embed_dims))
+            layers.append(torch.nn.Dropout(ffn_drop))
+            self.layers = torch.nn.Sequential(*layers)
+
+        def forward(self, x, identity=None):
+            out = self.layers(x)
+            return (x if identity is None else identity) + out
+
+    def build_feedforward_network(cfg, default_args=None):
+        cfg = dict(cfg)
+        cfg.pop("type", None)
+        return FFN(**cfg)
+
+    def build_norm_layer(cfg, num_features):
+        assert cfg.get("type", "LN") == "LN"
+        return "ln", torch.nn.LayerNorm(num_features)
+
+    def xavier_init(module, gain=1, bias=0, distribution="normal"):
+        pass  # tests randomize weights afterwards
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    mmcv = types.ModuleType("mmcv")
+    cnn = types.ModuleType("mmcv.cnn")
+    bricks = types.ModuleType("mmcv.cnn.bricks")
+    transformer = types.ModuleType("mmcv.cnn.bricks.transformer")
+    registry = types.ModuleType("mmcv.cnn.bricks.registry")
+    cnn.xavier_init = xavier_init
+    cnn.build_norm_layer = build_norm_layer
+    transformer.build_feedforward_network = build_feedforward_network
+    transformer.FFN = FFN
+    registry.ATTENTION = _Registry()
+    cnn.bricks = bricks
+    bricks.transformer = transformer
+    bricks.registry = registry
+    mmcv.cnn = cnn
+    for name, mod in (("mmcv", mmcv), ("mmcv.cnn", cnn),
+                      ("mmcv.cnn.bricks", bricks),
+                      ("mmcv.cnn.bricks.transformer", transformer),
+                      ("mmcv.cnn.bricks.registry", registry)):
+        sys.modules[name] = mod
+
+
+def load_reference_det_sampler():
+    """Load the reference DeformableAttentionSampler (pure torch under the
+    mmcv shim) as a functional oracle, or None if unavailable."""
+    key = "refdet_attention_sampler"
+    if key in sys.modules:
+        return sys.modules[key]
+    path = ("/root/reference/EPro-PnP-Det/epropnp_det/ops/"
+            "deformable_attention_sampler.py")
+    if not os.path.isfile(path):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+    try:
+        import mmcv.cnn  # noqa: F401  (real mmcv wins if present)
+    except ImportError:
+        _install_mmcv_shim()
+    spec = importlib.util.spec_from_file_location(key, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 DET_OPS_DIR = "/root/reference/EPro-PnP-Det/epropnp_det/ops"
 
 

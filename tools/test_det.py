@@ -43,6 +43,11 @@ def main():
     cfg = getattr(DetConfig, args.config)()
     if not os.path.isfile(args.ann):
         p.error(f'annotation file not found: {args.ann}')
+    if args.checkpoint.endswith(('.pth', '.pt', '.tar')):
+        # released torch checkpoints carry mmcv DCNv2 weights: run the
+        # DeformConvs with exact mmcv modulation (plain sigmoid)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dcn_modulation_scale=1.0)
     dataset = NuScenes3DDataset(args.ann, img_prefix=args.data)
     model, variables = init_detector(cfg, args.checkpoint)
     timers = IterTimers(enabled=args.timer)

@@ -23,6 +23,12 @@ def main():
     p.add_argument('--data', default='', help='nuScenes dataroot')
     p.add_argument('--save', default='runs/det')
     p.add_argument('--resume-from', default=None)
+    p.add_argument('--load-torch', default=None,
+                   help='torch checkpoint to graft before training: '
+                        'torchvision ImageNet ResNet (the reference '
+                        'init_cfg=Pretrained torchvision://resnet101), '
+                        'an mmdet backbone+neck file, or a full released '
+                        'EPro-PnP-Det checkpoint')
     p.add_argument('--data-parallel', action='store_true')
     p.add_argument('--batch-size', type=int, default=None)
     p.add_argument('--img-hw', type=int, nargs=2, default=(672, 1600),
@@ -45,6 +51,14 @@ def main():
         p.error('cv2 required')
 
     cfg = getattr(DetConfig, args.config)()
+    if args.load_torch:
+        # checkpoints trained with mmcv DCN (conv_offset keys present)
+        # need exact DCNv2 modulation; plain torchvision files keep the
+        # identity-like from-scratch scale
+        from epropnp_tpu.utils.torch_convert import load_torch_state_dict
+        if any('conv_offset' in k for k in
+               load_torch_state_dict(args.load_torch)):
+            cfg = dataclasses.replace(cfg, dcn_modulation_scale=1.0)
     if args.batch_size:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
@@ -99,7 +113,8 @@ def main():
 
     train_loop(cfg, batch_iter, steps, args.save, img_hw=tuple(args.img_hw),
                resume_from=args.resume_from,
-               data_parallel=args.data_parallel)
+               data_parallel=args.data_parallel,
+               load_torch=args.load_torch)
 
 
 if __name__ == '__main__':
