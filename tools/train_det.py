@@ -12,8 +12,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from epropnp_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
 
 def main():
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--config', default='basic',
                    choices=['basic', 'coord_regr', 'coord_regr_trainval',
