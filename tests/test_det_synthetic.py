@@ -105,9 +105,10 @@ def test_det_synthetic_convergence_floor():
     must clear an NDS floor on held-out scenes — ties the training recipe
     to the devkit-free nuScenes metrics (VERDICT-r1 item 9). This exact
     invocation (seed 0, bs 2, pool 24) measured NDS 0.461 on the CPU
-    backend (round 2) and 0.486+ on hardware; the 0.35 floor (VERDICT-r2
-    item 5) trips on any ~25% regression while clearing fixed-seed
-    numerics jitter between backends."""
+    backend (round 2) and 0.486+ on hardware; the full untruncated
+    2500-step study (det_convergence_study.json, round 4) reaches
+    NDS 0.585 by step 250 and 0.779 at 2500. Floor 0.42 = ~10% under
+    the weakest observed 300-step point (VERDICT-r3 item 3)."""
     import sys
     import os
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -116,5 +117,5 @@ def test_det_synthetic_convergence_floor():
 
     out = vds.run_study(steps=300, bs=2, pool=24, eval_scenes=8,
                         eval_every=100, seed=0, log=lambda *a: None)
-    assert out['nds'] >= 0.35, out
+    assert out['nds'] >= 0.42, out
     assert out['recall'] > 0.4, out

@@ -30,6 +30,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get('JAX_PLATFORMS', '').strip().lower() == 'cpu':
+    # the TPU plugin force-registers ahead of the env var; honor an
+    # explicit CPU request (e.g. when the tunnel is unavailable)
+    jax.config.update('jax_platforms', 'cpu')
+
 import jax.numpy as jnp
 import numpy as np
 
