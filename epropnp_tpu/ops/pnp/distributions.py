@@ -107,9 +107,15 @@ def _sample_von_mises(key, loc, concentration, shape, dtype,
     for all kappa, so 64 masked rounds leave a < 1e-24 failure probability;
     unaccepted lanes keep the last proposal.
     """
-    kappa = jnp.maximum(concentration, 1e-6)
-    tau = 1.0 + jnp.sqrt(1.0 + 4.0 * jnp.square(kappa))
-    rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * kappa)
+    kappa = jnp.clip(concentration, 1e-6, 1e18)
+    s_ = jnp.sqrt(1.0 + 4.0 * jnp.square(kappa))
+    tau = 1.0 + s_
+    # cancellation-free form of (tau - sqrt(2 tau)) / (2 kappa): the
+    # textbook expression rounds to 0/(2 kappa) = 0 in f32 below
+    # kappa ~ 4e-4, sending r = (1 + rho^2)/(2 rho) to inf and the
+    # acceptance ratio f to inf/inf = nan (small kappa is routine for
+    # the AMIS yaw proposal on near-uniform objects)
+    rho = 2.0 * kappa * tau / ((s_ + 1.0) * (tau + jnp.sqrt(2.0 * tau)))
     r = (1.0 + jnp.square(rho)) / (2.0 * rho)
 
     def body(i, carry):
@@ -119,7 +125,16 @@ def _sample_von_mises(key, loc, concentration, shape, dtype,
         u2 = jax.random.uniform(k2, shape, dtype=dtype)
         u3 = jax.random.uniform(k3, shape, dtype=dtype)
         z = jnp.cos(math.pi * u1)
-        f = (1.0 + r * z) / (r + z)
+        # guarded division: at large kappa r rounds to 1.0 in f32 and z
+        # can hit -1.0, making (1 + rz)/(r + z) = 0/0 = nan (the AMIS
+        # proposal fit can legitimately produce near-delta kappa on
+        # degenerate objects). The z -> -r limit of the target density
+        # is the point mass at loc, i.e. f -> 1.
+        denom = r + z
+        safe = jnp.abs(denom) > 1e-12
+        f = jnp.where(safe,
+                      (1.0 + r * z) / jnp.where(safe, denom, 1.0),
+                      1.0)
         c = kappa * (r - f)
         accept = ((c * (2.0 - c) - u2) > 0.0) \
             | ((jnp.log(jnp.maximum(c / jnp.maximum(u2, 1e-30), 1e-30))

@@ -141,3 +141,26 @@ def test_cholesky_wrapper_fallback():
     tril = cholesky_wrapper(mats, [1.0, 1.0, 4.0])
     np.testing.assert_allclose(tril[0], np.diag([2.0, 1.0, 3.0]), atol=1e-12)
     np.testing.assert_allclose(tril[1], np.diag([1.0, 1.0, 4.0]), atol=1e-12)
+
+
+def test_von_mises_sampler_finite_extreme_kappa():
+    """f32 regression: the textbook Best-Fisher rho = (tau - sqrt(2 tau))
+    / (2 kappa) cancels to 0 below kappa ~ 4e-4 (r = inf -> f = inf/inf
+    = nan), and at huge kappa r rounds to 1.0 while z can hit -1.0
+    (f = 0/0). Both arise from real AMIS proposal fits (a near-uniform
+    yaw posterior gave kappa = 2.5e-5 in the Det dryrun). The sampler
+    must stay finite and monotonically concentrate with kappa."""
+    import jax
+    import jax.numpy as jnp
+    from epropnp_tpu.ops.pnp.distributions import _sample_von_mises
+
+    resultants = []
+    for kappa in (1e-6, 2.5e-5, 4e-4, 0.5, 23.0, 1e8):
+        x = np.asarray(_sample_von_mises(
+            jax.random.PRNGKey(0), jnp.asarray(0.3), jnp.asarray(kappa),
+            (4000,), jnp.float32))
+        assert np.isfinite(x).all(), kappa
+        resultants.append(np.hypot(np.cos(x).mean(), np.sin(x).mean()))
+    assert resultants[-1] > 0.999        # near-delta at huge kappa
+    assert resultants[0] < 0.05          # near-uniform at tiny kappa
+    assert all(b >= a - 0.02 for a, b in zip(resultants, resultants[1:]))
