@@ -63,6 +63,24 @@ def main():
         f = jax.jit(lambda feat, yi, xi: feat[yi, xi])
         timed(f, (feat, yi, xi), iters, f'{dtype.__name__} 2d-index 4x rows c=256')
 
+    # int8 rows — the decision input for a quantized DCN gather table:
+    # if gather is BYTE-bound at these row widths, int8 4c rows halve
+    # the dominant dense-stage traffic (STATUS round-4 roofline); if it
+    # is ROW-RATE-bound (the bf16-at-half-byte-rate observation above
+    # suggests it may be), int8 buys nothing and the idea dies here.
+    for c in (1024, 2048):   # 4C patch rows of a C=256 / C=512 DCN
+        q = r.integers(-127, 127, size=(h * w, c)).astype(np.int8)
+        idx = jnp.asarray(r.integers(0, h * w, n_pos), jnp.int32)
+        feat8 = jnp.asarray(q)
+        f = jax.jit(lambda feat, idx: feat[idx])
+        timed(f, (feat8, idx), iters, f'int8 rows={n_pos} c={c}')
+        # same bytes viewed as int32 lanes (the bf16->f32 bitcast trick)
+        feat32 = jax.lax.bitcast_convert_type(
+            feat8.reshape(h * w, c // 4, 4), jnp.int32)
+        f2 = jax.jit(lambda feat, idx: feat[idx])
+        timed(f2, (feat32, idx), iters,
+              f'int8-as-int32 rows={n_pos} lanes={c // 4}')
+
 
 if __name__ == '__main__':
     main()
