@@ -44,6 +44,50 @@ def test_deform_conv_zero_offsets_matches_standard_conv():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_deform_conv_stride2_zero_offsets_matches_standard_conv():
+    """Stride-2 DCN (the first blocks of the reference's DCN stages,
+    fallback_on_stride=False) with zero offsets == stride-2 3x3 conv
+    with torch padding=1 geometry."""
+    dc = DeformConv(features=8, strides=2, use_modulation=False)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 12, 10, 4)),
+                    jnp.float32)
+    params = dc.init(jax.random.PRNGKey(0), x)
+    out = dc.apply(params, x)
+    assert out.shape == (2, 6, 5, 8)
+    kernel = np.asarray(params['params']['kernel']).reshape(3, 3, 4, 8)
+    import jax.lax as lax
+    ref = lax.conv_general_dilated(
+        np.asarray(x), kernel, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_deform_conv_stride2_fused_matches_jnp():
+    """The Pallas gather-contract path at stride 2 == the jnp path
+    (interpret mode on CPU), with modulation and nonzero offsets."""
+    import epropnp_tpu.ops.pallas_dcn as pallas_dcn
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 12, 10, 4)), jnp.float32)
+    dc_ref = DeformConv(features=8, strides=2, fused=False)
+    params = dc_ref.init(jax.random.PRNGKey(3), x)
+    # nonzero offsets/mask so the sampling path is exercised
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) * 0.3, a.dtype),
+        params)
+    ref = dc_ref.apply(params, x)
+    old = pallas_dcn.INTERPRET
+    pallas_dcn.INTERPRET = True
+    try:
+        fused = DeformConv(features=8, strides=2, fused=True).apply(
+            params, x)
+    finally:
+        pallas_dcn.INTERPRET = old
+    assert fused.shape == ref.shape == (1, 6, 5, 8)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def make_head(num_classes=4, dcn=False):
     return FCOSEmbHead(
         num_classes=num_classes, feat_channels=32, stacked_convs=2,
