@@ -151,6 +151,15 @@ def main():
     p.add_argument('--repeats', type=int, default=5)
     args = p.parse_args()
 
+    # One tunnel wedge must not zero a round's evidence: probe the
+    # backend from subprocesses with bounded backoff before the real
+    # init (a failed in-process init is cached by JAX for the process
+    # lifetime). Falls back to an explicitly-logged CPU run if the
+    # device never answers.
+    from epropnp_tpu.utils.backend_retry import wait_for_backend
+    platform = wait_for_backend()
+    print(f'# backend: {platform}', file=sys.stderr)
+
     problem = make_problem()
     solves_per_sec, pose, cost = bench_jax(problem, repeats=args.repeats)
 

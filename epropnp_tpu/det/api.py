@@ -43,7 +43,21 @@ def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
         **overrides)
 
 
-def load_torch_variables(cfg: DetConfig, variables, path: str):
+def torch_checkpoint_has_dcn_offsets(path: str) -> bool:
+    """True if a torch checkpoint carries mmcv DCNv2 ``conv_offset`` keys.
+
+    Such checkpoints were trained with mmcv's plain-sigmoid modulation;
+    running them under ``dcn_modulation_scale != 1.0`` silently rescales
+    every DCN mask. Plain torchvision zoo files (no offset keys) instead
+    want the configured scale so the zero-offset graft stays
+    identity-like.
+    """
+    from ..utils import torch_convert as tc
+    return any('conv_offset' in k for k in tc.load_torch_state_dict(path))
+
+
+def load_torch_variables(cfg: DetConfig, variables, path: str,
+                         head_overrides: Optional[dict] = None):
     """Ingest a torch checkpoint into freshly initialized variables.
 
     Handles the reference's three weight sources (tools/train.py /
@@ -61,6 +75,14 @@ def load_torch_variables(cfg: DetConfig, variables, path: str):
     """
     from ..utils import torch_convert as tc
     sd = tc.load_torch_state_dict(path)
+    if any('conv_offset' in k for k in sd) \
+            and cfg.dcn_modulation_scale != 1.0:
+        raise ValueError(
+            f'{path} carries mmcv DCNv2 conv_offset weights but the model '
+            f'was built with dcn_modulation_scale={cfg.dcn_modulation_scale}'
+            ' — every DCN mask would be silently rescaled. Rebuild with '
+            'dcn_modulation_scale=1.0 (init_detector does this '
+            'automatically).')
     dcn_stages = (3, 4)
     pre_params, pre_stats = {}, {}
     if 'backbone.conv1.weight' in sd:
@@ -81,7 +103,24 @@ def load_torch_variables(cfg: DetConfig, variables, path: str):
                                 prefix='neck.')
         pre_params['neck'] = neck['params']
     if 'bbox_head.query_proj.weight' in sd:
-        head = tc.det_head_variables(sd, prefix='bbox_head.')
+        # Derive the head geometry from the same knobs the model was
+        # built with (build_detector overrides on top of the module
+        # defaults) so the converter tracks non-default architectures.
+        from ..models.dense_heads.deform_pnp_head import DeformPnPHead
+        from ..models.dense_heads.fcos_emb_head import FCOSEmbHead
+        ov = head_overrides or {}
+        det_cfg = ov.get('detector_cfg') or {}
+        head = tc.det_head_variables(
+            sd, prefix='bbox_head.',
+            stacked_convs=det_cfg.get('stacked_convs',
+                                      FCOSEmbHead.stacked_convs),
+            dcn_on_last_conv=ov.get('dcn_on_last_conv',
+                                    DeformPnPHead.dcn_on_last_conv),
+            num_lvl_convs=len(ov.get('lvl_feat_channels',
+                                     DeformPnPHead.lvl_feat_channels)),
+            num_pred_fcs=ov.get('num_pred_fcs', DeformPnPHead.num_pred_fcs),
+            num_pts_trans_layers=ov.get('num_pts_trans_layers',
+                                        DeformPnPHead.num_pts_trans_layers))
         pre_params['head'] = head['params']
     if not pre_params:
         raise ValueError(
@@ -103,13 +142,24 @@ def init_detector(cfg: DetConfig, checkpoint: Optional[str] = None,
     reference loads released torch checkpoints with tools/test.py
     ``--checkpoint``).
     """
+    is_torch = bool(checkpoint) and checkpoint.endswith(
+        ('.pth', '.pt', '.tar'))
+    if is_torch and cfg.dcn_modulation_scale != 1.0 \
+            and torch_checkpoint_has_dcn_offsets(checkpoint):
+        # mmcv-trained DCNv2 weights expect plain-sigmoid modulation;
+        # rebuild with exact mmcv semantics instead of silently
+        # rescaling every mask (tools/train_det.py applies the same
+        # detection before training).
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dcn_modulation_scale=1.0)
     model = build_detector(cfg, **overrides)
     img = jnp.zeros((1,) + tuple(img_hw) + (3,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, tuple(img_hw))
     variables = dict(variables)
     if checkpoint:
-        if checkpoint.endswith(('.pth', '.pt', '.tar')):
-            variables = load_torch_variables(cfg, variables, checkpoint)
+        if is_torch:
+            variables = load_torch_variables(cfg, variables, checkpoint,
+                                             head_overrides=overrides)
         else:
             variables = load_checkpoint(checkpoint, variables)
     return model, variables

@@ -5,9 +5,10 @@ dataset treats each of the 6 cameras as a monocular sample; at evaluation
 per-camera detections are lifted to the global frame (sensor -> ego ->
 global), distance-filtered per class, fused with cross-camera rotated BEV
 NMS (the native C++ op), and written as a standard nuScenes submission
-JSON. The official NDS/mAP computation requires the nuscenes devkit
-(gated: ``evaluate_nds`` raises with instructions when absent); everything
-else — parsing, geometry, fusion, formatting — is self-contained numpy.
+JSON. ``evaluate()`` uses the official nuscenes devkit for NDS/mAP when
+it is installed and falls back to the self-contained protocol port in
+``det/nuscenes_eval.py`` otherwise; everything else — parsing, geometry,
+fusion, formatting — is self-contained numpy.
 
 Camera-frame box layout: ``[l, h, w, x, y, z, ry]`` (KITTI-style, y down).
 """

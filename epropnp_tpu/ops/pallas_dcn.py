@@ -79,7 +79,16 @@ def _contract_pallas(g: jnp.ndarray, w4: jnp.ndarray, kern: jnp.ndarray,
         kern_bytes = taps * c * cout * kern.dtype.itemsize
         per_row = 2 * taps * (c4 * g.dtype.itemsize + 4 * 4) \
             + 2 * cout * g.dtype.itemsize
-        block_l = int(max(8, min(128, (limit - kern_bytes) // per_row)))
+        min_bl = 8
+        if kern_bytes + min_bl * per_row > limit:
+            raise ValueError(
+                f'DCN contraction kernel block ({kern_bytes / 2**20:.1f} '
+                f'MiB: taps={taps}, 4c={c4}, cout={cout}, '
+                f'{kern.dtype}) leaves no scoped-VMEM headroom under the '
+                f'{limit / 2**20:.0f} MiB budget even at block_l={min_bl}'
+                ' — cast the kernel to bfloat16 or use the jnp '
+                'deform_conv path for this layer geometry')
+        block_l = int(max(min_bl, min(128, (limit - kern_bytes) // per_row)))
         block_l -= block_l % 8
     pad = (-length) % block_l
     if pad:

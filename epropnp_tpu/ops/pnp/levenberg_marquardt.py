@@ -74,10 +74,16 @@ class LMSolver:
     def forward(self, x3d, x2d, w2d, camera, cost_fun, rng=None,
                 with_pose_opt_plus=False, pose_init=None,
                 normalize_override=None, **kwargs):
-        """Full solve (+ optional differentiable plus-step).
+        """Solve, optionally followed by one differentiable GN plus-step.
+
+        The plus-step re-linearizes at the converged pose so gradients
+        flow through a single Gauss-Newton update rather than the whole
+        iteration (the implicit-differentiation trick the training path
+        relies on). When ``normalize`` is set, the 3D points are centred
+        and scaled before the solve and the pose is mapped back after.
 
         Returns ``(pose_opt, pose_cov, cost, pose_opt_plus)``.
-        Reference: epropnp/levenberg_marquardt.py:55-78.
+        Reference semantics: epropnp/levenberg_marquardt.py:55-78.
         """
         normalize = normalize_override if isinstance(normalize_override, bool) \
             else self.normalize
@@ -97,7 +103,12 @@ class LMSolver:
         if normalize:
             pose_opt = pnp_denormalize(transform, pose_opt)
             if pose_cov is not None:
-                raise NotImplementedError('Normalized covariance unsupported')
+                # the covariance lives in the normalized coordinates; we
+                # have no mapping back, so refuse rather than return a
+                # silently-wrong matrix (the reference refuses too)
+                raise NotImplementedError(
+                    'pose covariance cannot be requested together with '
+                    'point normalization — solve with normalize=False')
             if pose_opt_plus is not None:
                 pose_opt_plus = pnp_denormalize(transform, pose_opt_plus)
         return pose_opt, pose_cov, cost, pose_opt_plus

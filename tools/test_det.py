@@ -47,10 +47,14 @@ def main():
     if not os.path.isfile(args.ann):
         p.error(f'annotation file not found: {args.ann}')
     if args.checkpoint.endswith(('.pth', '.pt', '.tar')):
-        # released torch checkpoints carry mmcv DCNv2 weights: run the
-        # DeformConvs with exact mmcv modulation (plain sigmoid)
-        import dataclasses
-        cfg = dataclasses.replace(cfg, dcn_modulation_scale=1.0)
+        from epropnp_tpu.det.api import torch_checkpoint_has_dcn_offsets
+        if torch_checkpoint_has_dcn_offsets(args.checkpoint):
+            # mmcv-trained DCNv2 weights expect plain-sigmoid modulation;
+            # plain torchvision files (no conv_offset keys) instead keep
+            # the configured scale so the zero-offset graft stays
+            # identity-like (init_detector applies the same detection)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, dcn_modulation_scale=1.0)
     dataset = NuScenes3DDataset(args.ann, img_prefix=args.data)
     model, variables = init_detector(cfg, args.checkpoint)
     timers = IterTimers(enabled=args.timer)
