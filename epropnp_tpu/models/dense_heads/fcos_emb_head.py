@@ -82,6 +82,12 @@ class FCOSEmbHead(nn.Module):
     # branch convs, so scores/centers/embeddings keep full precision.
     # None = same dtype as everything else.
     dense_dtype: Any = None
+    # Pack all pyramid levels into one composite canvas so every tower /
+    # branch conv runs ONCE at an MXU-friendly shape instead of 5 times
+    # (3 of them on maps too small to tile the MXU). Output-identical to
+    # the per-level path (ops/level_pack.py documents the exactness
+    # rules); GroupNorm statistics stay per-level.
+    level_packed: bool = False
 
     def _tower(self, name):
         ddt = self.dense_dtype or self.dtype
@@ -143,6 +149,11 @@ class FCOSEmbHead(nn.Module):
                                    name='conv_emb_gn')
 
         ddt = self.dense_dtype or self.dtype
+        if self.level_packed and len(feats) > 1:
+            return self._packed_forward(
+                feats, ddt, cls_tower, reg_tower, cls_branch, ctr_branch,
+                off_branch, emb_branch, conv_cls, conv_centerness,
+                conv_offset, conv_emb, conv_emb_gn, off_ch)
         outs = []
         for lvl, (x, stride) in enumerate(zip(feats, self.strides)):
             cls_feat = x.astype(ddt)
@@ -169,6 +180,74 @@ class FCOSEmbHead(nn.Module):
                 self._apply_branch(emb_branch, reg_feat))))
 
             n, h, w, _ = x.shape
+            pts = level_points(h, w, stride, self.dtype)
+            pts_map = pts.reshape(h, w, 2)
+            if self.offset_cls_agnostic:
+                center = offset + pts_map
+            else:
+                center = (offset.reshape(n, h, w, self.num_classes, 2)
+                          + pts_map[:, :, None, :]).reshape(n, h, w, off_ch)
+            outs.append(FCOSLevelOutputs(cls_score, center, centerness,
+                                         obj_emb, pts))
+        return tuple(outs)
+
+    def _packed_forward(self, feats, ddt, cls_tower, reg_tower, cls_branch,
+                        ctr_branch, off_branch, emb_branch, conv_cls,
+                        conv_centerness, conv_offset, conv_emb, conv_emb_gn,
+                        off_ch):
+        """Level-packed tower/branch forward (identical outputs).
+
+        Every conv runs once on the composite canvas; GroupNorms apply
+        per level via ``map_levels`` (exact per-level statistics), which
+        also rebuilds the canvas on zeros so the following conv sees the
+        zero gaps per-level 'same' padding provides. DeformConv samples
+        each level's region from its own patch table (no cross-level
+        reads). Per-level stride scaling and point grids are applied
+        after unpacking.
+        """
+        from ...ops.deform_conv import DeformConv
+        from ...ops.level_pack import (
+            map_levels, pack_levels, plan_level_packing, unpack_levels)
+        layout = plan_level_packing(
+            [(x.shape[1], x.shape[2]) for x in feats])
+
+        def run_tower(tower, comp):
+            for layer in tower:
+                if isinstance(layer, DeformConv):
+                    comp = layer(comp, layout=layout)
+                elif isinstance(layer, nn.GroupNorm):
+                    comp = map_levels(comp, layout,
+                                      lambda s: nn.relu(layer(s)))
+                else:
+                    comp = layer(comp)
+            return comp
+
+        def run_branch(mods, comp):
+            for conv, gn in mods:
+                comp = conv(comp)
+                comp = map_levels(comp, layout, lambda s: nn.relu(gn(s)))
+            return comp
+
+        comp_in = pack_levels([x.astype(ddt) for x in feats], layout)
+        cls_feat = run_tower(cls_tower, comp_in).astype(self.dtype)
+        reg_feat = run_tower(reg_tower, comp_in).astype(self.dtype)
+
+        cls_score_c = conv_cls(run_branch(cls_branch, cls_feat))
+        centerness_c = conv_centerness(run_branch(ctr_branch, reg_feat))
+        offset_c = conv_offset(run_branch(off_branch, reg_feat))
+        obj_emb_c = map_levels(
+            conv_emb(run_branch(emb_branch, reg_feat)), layout,
+            lambda s: nn.relu(conv_emb_gn(s)))
+
+        outs = []
+        for lvl, (cls_score, centerness, offset, obj_emb, stride) in \
+                enumerate(zip(unpack_levels(cls_score_c, layout),
+                              unpack_levels(centerness_c, layout),
+                              unpack_levels(offset_c, layout),
+                              unpack_levels(obj_emb_c, layout),
+                              self.strides)):
+            n, h, w, _ = cls_score.shape
+            offset = offset * stride
             pts = level_points(h, w, stride, self.dtype)
             pts_map = pts.reshape(h, w, 2)
             if self.offset_cls_agnostic:

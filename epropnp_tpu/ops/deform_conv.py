@@ -53,7 +53,9 @@ class DeformConv(nn.Module):
     fused: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, layout=None) -> jnp.ndarray:
+        if layout is not None:
+            return self._call_packed(x, layout)
         n, h, w, c_in = x.shape
         k = self.kernel_size
         s = self.strides
@@ -121,3 +123,106 @@ class DeformConv(nn.Module):
         sampled = sampled * mod[..., None]
         out = sampled.reshape(n, ho, wo, taps * c_in) @ kernel
         return out + bias
+
+    def _call_packed(self, x: jnp.ndarray, layout) -> jnp.ndarray:
+        """Level-packed composite input (ops/level_pack.LevelLayout).
+
+        ``x`` is a (n, H, W, c) canvas holding every pyramid level
+        (gaps zeroed). The offset/modulation conv runs ONCE on the
+        canvas (3x3, so zeroed gaps reproduce per-level 'same'
+        padding); sampling is exact per level — each region samples its
+        own patch table with level-local clamping, so learned offsets
+        can never read a neighboring level — and all levels' positions
+        contract in ONE kernel call. Parameters are identical to the
+        per-level path (same names, same shapes).
+        """
+        if self.strides != 1:
+            raise ValueError('level-packed DeformConv is stride-1 only')
+        n, hc, wc, c_in = x.shape
+        k = self.kernel_size
+        taps = k * k
+        half = (k - 1) // 2
+
+        off_ch = taps * (3 if self.use_modulation else 2)
+        offset_mask = nn.Conv(
+            off_ch, (k, k), padding=half, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name='conv_offset')(x)
+        kernel = self.param(
+            'kernel', nn.initializers.he_normal(),
+            (taps * c_in, self.features), self.dtype)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          self.dtype)
+
+        base = jnp.stack(jnp.meshgrid(
+            jnp.arange(-half, half + 1, dtype=self.dtype),
+            jnp.arange(-half, half + 1, dtype=self.dtype),
+            indexing='ij'), axis=-1)[..., ::-1].reshape(taps, 2)  # [x, y]
+
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = jax.default_backend() != 'cpu'
+
+        def level_coords_mod(h, w, y0, x0):
+            om = offset_mask[:, y0:y0 + h, x0:x0 + w, :]
+            offsets = om[..., :taps * 2].reshape(n, h, w, taps, 2)
+            if self.use_modulation:
+                mod = jax.nn.sigmoid(om[..., taps * 2:]) \
+                    * self.modulation_scale
+            else:
+                mod = jnp.ones((n, h, w, taps), self.dtype)
+            yy, xx = jnp.meshgrid(jnp.arange(h, dtype=self.dtype),
+                                  jnp.arange(w, dtype=self.dtype),
+                                  indexing='ij')
+            grid = jnp.stack([xx, yy], axis=-1)  # level-local [x, y]
+            coords = grid[None, :, :, None, :] + base + offsets
+            return coords, mod
+
+        if not use_fused:
+            out = jnp.zeros((n, hc, wc, self.features), self.dtype)
+            for (h, w), (y0, x0) in zip(layout.shapes, layout.origins):
+                coords, mod = level_coords_mod(h, w, y0, x0)
+                sampled = jax.vmap(
+                    lambda feat, crd: bilinear_sample_packed(
+                        feat, crd, 'zeros')
+                )(x[:, y0:y0 + h, x0:x0 + w, :], coords)
+                sampled = sampled * mod[..., None]
+                lvl = sampled.reshape(n, h, w, taps * c_in) @ kernel + bias
+                out = out.at[:, y0:y0 + h, x0:x0 + w, :].set(lvl)
+            return out
+
+        from .bilinear_sample import pack_patches, corner_rows_and_weights
+        from .pallas_dcn import dcn_gather_contract, pack_patches_mxu
+        pack = pack_patches_mxu if x.dtype.itemsize <= 2 else pack_patches
+        kern3 = kernel.reshape(taps, c_in, self.features)
+
+        tables, rows_all, w4_all, counts = [], [], [], []
+        table_rows = 0
+        for (h, w), (y0, x0) in zip(layout.shapes, layout.origins):
+            lvl_x = x[:, y0:y0 + h, x0:x0 + w, :]
+            packed = jax.vmap(pack)(lvl_x)          # (n, h+2, w+2, 4c)
+            rpi = packed.shape[1] * packed.shape[2]
+            coords, mod = level_coords_mod(h, w, y0, x0)
+            rows, w4 = corner_rows_and_weights(coords, (h, w), 'zeros')
+            w4 = w4 * mod[..., None]
+            rows = rows + table_rows + (
+                jnp.arange(n, dtype=rows.dtype) * rpi)[:, None, None, None]
+            tables.append(packed.reshape(-1, 4 * c_in))
+            rows_all.append(rows.reshape(n * h * w, taps).T)
+            w4_all.append(w4.reshape(n * h * w, taps, 4).swapaxes(0, 1))
+            counts.append(n * h * w)
+            table_rows += n * rpi
+
+        out_flat = dcn_gather_contract(
+            jnp.concatenate(tables, axis=0),
+            jnp.concatenate(rows_all, axis=1),
+            jnp.concatenate(w4_all, axis=1),
+            kern3)
+        out = jnp.zeros((n, hc, wc, self.features), out_flat.dtype)
+        start = 0
+        for (h, w), (y0, x0), cnt in zip(layout.shapes, layout.origins,
+                                         counts):
+            lvl = out_flat[start:start + cnt].reshape(n, h, w,
+                                                      self.features)
+            out = out.at[:, y0:y0 + h, x0:x0 + w, :].set(lvl + bias)
+            start += cnt
+        return out.astype(self.dtype)
