@@ -38,6 +38,8 @@ def build_detector(cfg: DetConfig, **overrides) -> EProPnPDet:
         num_attrs=cfg.num_attrs,
         score_type=cfg.score_type,
         dcn_modulation_scale=cfg.dcn_modulation_scale,
+        dcn_int8_gather=cfg.int8_dcn_gather,
+        level_packed_towers=cfg.level_packed_towers,
         backbone_dtype=jnp.bfloat16 if cfg.bf16_backbone else None,
         dense_dtype=jnp.bfloat16 if cfg.bf16_dense else None,
         **overrides)
@@ -169,7 +171,7 @@ def inference_detector(model, variables, cfg: DetConfig,
                        imgs: List[np.ndarray],
                        cam_intrinsics: List[np.ndarray],
                        infer_fn=None, rng=None, timers: IterTimers = None,
-                       crop_box='auto'):
+                       crop_box='auto', tta: bool = False):
     """Run inference on raw images (host pipeline + jitted model).
 
     ``crop_box='auto'`` applies the reference sky-band crop
@@ -203,11 +205,18 @@ def inference_detector(model, variables, cfg: DetConfig,
         np.stack([s['img_dense_x2d_mask'] for s in samples]))
 
     if infer_fn is None:
-        infer_fn = jax.jit(dtest.make_inference_fn(model, cfg))
+        make_fn = (dtest.make_tta_inference_fn if tta
+                   else dtest.make_inference_fn)
+        infer_fn = jax.jit(make_fn(model, cfg))
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     with timers('model time'):
-        results = infer_fn(variables, batch_img, cam, shapes, ori, flips,
-                           x2d, x2d_mask,
-                           rng if rng is not None else jax.random.PRNGKey(0))
+        if tta:
+            results = infer_fn(variables, batch_img, batch_img[:, :, ::-1],
+                               cam, shapes, ori, x2d, x2d[:, :, ::-1],
+                               x2d_mask, rng)
+        else:
+            results = infer_fn(variables, batch_img, cam, shapes, ori,
+                               flips, x2d, x2d_mask, rng)
         jax.block_until_ready(results.bbox_3d)
     with timers('post-proc. time'):
         out2d, out3d = dtest.results_to_numpy(results, n, cfg.num_classes)

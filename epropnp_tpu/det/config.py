@@ -92,6 +92,17 @@ class DetConfig:
     # incl. their DCN last convs + dense key/value convs) in bfloat16;
     # scores/centers/key/value are cast back to float32. Opt-in.
     bf16_dense: bool = False
+    # Serving-only: int8-quantize the DCN patch-row gather tables
+    # (per-channel scales folded into the conv kernels) to halve the
+    # gathered bytes of the HBM-bound DCN sampling. Forward-only — keep
+    # False for training. Opt-in.
+    int8_dcn_gather: bool = False
+    # Pack all pyramid levels into one composite canvas for the FCOS
+    # towers/branches so each conv runs once at an MXU-friendly shape
+    # (the three coarsest serving maps are <= 21x50 — too small to tile
+    # the 128x128 MXU; the tower stage measured 9.7% MFU per-level).
+    # Output-identical (tests/test_level_pack.py). Opt-in.
+    level_packed_towers: bool = False
     # Rematerialize the dense forward (backbone + FPN + FCOS towers +
     # dense key/value) in the training backward pass (jax.checkpoint):
     # trades one extra dense forward for dropping its activations from
@@ -142,6 +153,25 @@ class DetConfig:
             pnp=DetPnPConfig(mc_samples=128),
             loss=DetLossWeights(pose=0.5),
             train=DetTrainConfig(roi_shape=(14, 14)))
+
+    @classmethod
+    def smoke(cls):
+        """CI smoke model: tiny backbone/head/solver so the full CLI
+        path (converter pickles -> dataset -> train -> eval ->
+        submission) runs in minutes on CPU. NOT a training recipe."""
+        return cls(
+            backbone_depth=18,
+            embed_dims=32,
+            num_heads=4,
+            num_points=4,
+            strides=(8, 16, 32),
+            output_stride=8,
+            pnp=DetPnPConfig(mc_samples=16, num_iter=2, lm_num_iter=2,
+                             rs_num_points=8, rs_num_proposals=4,
+                             rs_num_iter=1),
+            train=DetTrainConfig(num_obj_samples_per_img=4,
+                                 roi_shape=(8, 8), max_gt_per_img=8,
+                                 batch_size=2, epochs=1))
 
     @classmethod
     def v1b_220312(cls):

@@ -61,6 +61,7 @@ class Bottleneck(nn.Module):
     # sigmoid-mask multiplier of the DCN: 2.0 = identity-like zero init
     # (from-scratch default), 1.0 = mmcv DCNv2 exactly (converted ckpts)
     dcn_modulation_scale: float = 2.0
+    dcn_int8_gather: bool = False  # serving-only quantized gather table
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,6 +79,7 @@ class Bottleneck(nn.Module):
             from ...ops.deform_conv import DeformConv
             y = DeformConv(self.filters, strides=self.strides,
                            modulation_scale=self.dcn_modulation_scale,
+                           int8_gather=self.dcn_int8_gather,
                            dtype=self.dtype)(y)
         else:
             y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
@@ -111,6 +113,7 @@ class ResNetBackbone(nn.Module):
     out_indices: Sequence[int] = (4,)
     dcn_stages: Sequence[int] = ()  # 1-based stages using deformable conv
     dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
+    dcn_int8_gather: bool = False  # serving-only quantized gather table
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -135,6 +138,7 @@ class ResNetBackbone(nn.Module):
                     kwargs['use_dcn'] = True
                     kwargs['dcn_modulation_scale'] = \
                         self.dcn_modulation_scale
+                    kwargs['dcn_int8_gather'] = self.dcn_int8_gather
                 x = block(channels, strides if i == 0 else 1,
                           dtype=self.dtype,
                           name=f'layer{stage}_block{i}', **kwargs)(x,

@@ -143,6 +143,7 @@ class DeformPnPHead(nn.Module):
     detector_cfg: Any = None       # dict of FCOSEmbHead overrides
     dcn_on_last_conv: bool = True
     dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
+    dcn_int8_gather: bool = False  # serving-only quantized gather table
     dtype: Any = jnp.float32
     # Serving mixed precision for the dense stage (FCOS towers + dense
     # conv/upsample/key-value maps); outputs are cast back to ``dtype``.
@@ -157,6 +158,7 @@ class DeformPnPHead(nn.Module):
                           emb_channels=self.embed_dims,
                           dcn_on_last_conv=self.dcn_on_last_conv,
                           dcn_modulation_scale=self.dcn_modulation_scale,
+                          dcn_int8_gather=self.dcn_int8_gather,
                           dtype=self.dtype,
                           dense_dtype=self.dense_dtype)
         if self.detector_cfg:

@@ -71,6 +71,7 @@ class FCOSEmbHead(nn.Module):
     offset_cls_agnostic: bool = True
     dcn_on_last_conv: bool = True
     dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
+    dcn_int8_gather: bool = False  # serving-only quantized gather table
     cls_branch: Sequence[int] = (256,)
     centerness_branch: Sequence[int] = (64,)
     offset_branch: Sequence[int] = (256,)
@@ -97,6 +98,7 @@ class FCOSEmbHead(nn.Module):
                 convs.append(DeformConv(
                     self.feat_channels,
                     modulation_scale=self.dcn_modulation_scale,
+                    int8_gather=self.dcn_int8_gather,
                     dtype=ddt, name=f'{name}_dcn{i}'))
             else:
                 convs.append(nn.Conv(self.feat_channels, (3, 3), padding=1,

@@ -42,6 +42,8 @@ class EProPnPDet(nn.Module):
     score_type: str = 'te'
     dcn_on_last_conv: bool = True
     dcn_modulation_scale: float = 2.0  # 1.0 for converted mmcv checkpoints
+    dcn_int8_gather: bool = False  # serving-only quantized gather tables
+    level_packed_towers: bool = False  # composite-canvas FCOS towers
     detector_cfg: Any = None  # extra FCOSEmbHead overrides (dict)
     dtype: Any = jnp.float32
     # Mixed-precision recipe: backbone + FPN in bfloat16 (params stay
@@ -72,7 +74,8 @@ class EProPnPDet(nn.Module):
             depth=self.backbone_depth,
             out_indices=tuple(range(first_stage, 5)),
             dcn_stages=self.backbone_dcn_stages,
-            dcn_modulation_scale=self.dcn_modulation_scale, dtype=bdt)
+            dcn_modulation_scale=self.dcn_modulation_scale,
+            dcn_int8_gather=self.dcn_int8_gather, dtype=bdt)
         spec_mult = 1 if self.backbone_depth in (18, 34) else 4
         in_ch = tuple(c * spec_mult
                       for c in (64, 128, 256, 512)[first_stage - 1:])
@@ -102,8 +105,10 @@ class EProPnPDet(nn.Module):
             score_type=self.score_type,
             dcn_on_last_conv=self.dcn_on_last_conv,
             dcn_modulation_scale=self.dcn_modulation_scale,
+            dcn_int8_gather=self.dcn_int8_gather,
             detector_cfg=dict(
                 offset_cls_agnostic=self.offset_cls_agnostic,
+                level_packed=self.level_packed_towers,
                 **(self.detector_cfg or {})),
             dtype=self.dtype,
             dense_dtype=self.dense_dtype)

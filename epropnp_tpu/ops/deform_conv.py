@@ -51,6 +51,13 @@ class DeformConv(nn.Module):
     modulation_scale: float = 2.0
     dtype: Any = jnp.float32
     fused: Any = None
+    # Serving-only: gather from a per-channel int8 quantized patch table
+    # (pallas_dcn.quantize_packed_table) — halves the gathered bytes of
+    # the HBM-bound DCN sampling; dequant scale is folded into the conv
+    # kernel. Requires the fused path; ignored (with the float table)
+    # when ``fused`` resolves to False. NOT for training: the quantized
+    # contraction is forward-only.
+    int8_gather: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, layout=None) -> jnp.ndarray:
@@ -113,8 +120,14 @@ class DeformConv(nn.Module):
             # tap-major so each tap's rows form one contiguous block
             rows = rows.reshape(n * ho * wo, taps).T
             w4 = w4.reshape(n * ho * wo, taps, 4).swapaxes(0, 1)
-            out = dcn_gather_contract(packed.reshape(-1, 4 * c_in),
-                                      rows, w4, kern3)
+            packed_flat = packed.reshape(-1, 4 * c_in)
+            if self.int8_gather:
+                from .pallas_dcn import (
+                    dcn_gather_contract_q, quantize_packed_table)
+                q, kern_s = quantize_packed_table(packed_flat, kern3)
+                out = dcn_gather_contract_q(q, rows, w4, kern_s)
+            else:
+                out = dcn_gather_contract(packed_flat, rows, w4, kern3)
             return out.reshape(n, ho, wo, self.features) + bias
 
         sampled = jax.vmap(
@@ -212,11 +225,17 @@ class DeformConv(nn.Module):
             counts.append(n * h * w)
             table_rows += n * rpi
 
-        out_flat = dcn_gather_contract(
-            jnp.concatenate(tables, axis=0),
-            jnp.concatenate(rows_all, axis=1),
-            jnp.concatenate(w4_all, axis=1),
-            kern3)
+        table_cat = jnp.concatenate(tables, axis=0)
+        rows_cat = jnp.concatenate(rows_all, axis=1)
+        w4_cat = jnp.concatenate(w4_all, axis=1)
+        if self.int8_gather:
+            from .pallas_dcn import (
+                dcn_gather_contract_q, quantize_packed_table)
+            q, kern_s = quantize_packed_table(table_cat, kern3)
+            out_flat = dcn_gather_contract_q(q, rows_cat, w4_cat, kern_s)
+        else:
+            out_flat = dcn_gather_contract(table_cat, rows_cat, w4_cat,
+                                           kern3)
         out = jnp.zeros((n, hc, wc, self.features), out_flat.dtype)
         start = 0
         for (h, w), (y0, x0), cnt in zip(layout.shapes, layout.origins,

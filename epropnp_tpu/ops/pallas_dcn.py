@@ -40,23 +40,26 @@ INTERPRET = False
 def _contract_kernel(g_ref, w4_ref, k_ref, out_ref, *, taps: int, c: int):
     """One L-block: combine 4 corners per tap, contract taps on the MXU.
 
-    g_ref: (taps, bl, 4c) gathered patch rows.
+    g_ref: (taps, bl, 4c) gathered patch rows (float, or int8 from the
+        quantized table — dequantization is folded into ``k_ref`` by the
+        caller, so int8 rows only need a cast here).
     w4_ref: (taps, bl, 4) corner weights (modulation folded in).
     k_ref: (taps, c, cout) conv kernel, constant across the grid.
     out_ref: (bl, cout).
     """
+    # int8 tables compute in the (scale-folded) kernel dtype; float
+    # tables keep the feature dtype (bf16 hits the single-pass MXU path,
+    # matching XLA's default matmul precision; f32 stays full precision)
+    cdt = k_ref.dtype if g_ref.dtype == jnp.int8 else g_ref.dtype
     acc = None
     for t in range(taps):
-        gt = g_ref[t]
-        wt = w4_ref[t]
+        gt = g_ref[t].astype(cdt)
+        wt = w4_ref[t].astype(cdt)
         s = (gt[:, :c] * wt[:, 0:1]
              + gt[:, c:2 * c] * wt[:, 1:2]
              + gt[:, 2 * c:3 * c] * wt[:, 2:3]
              + gt[:, 3 * c:] * wt[:, 3:4])
-        # dot in the feature dtype: bf16 features hit the single-pass MXU
-        # path (XLA's default matmul precision truncates to bf16 there
-        # too), f32 features keep a full-precision dot
-        d = jnp.dot(s.astype(g_ref.dtype), k_ref[t].astype(g_ref.dtype),
+        d = jnp.dot(s, k_ref[t].astype(cdt),
                     preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     out_ref[:] = acc.astype(out_ref.dtype)
@@ -69,6 +72,7 @@ def _contract_pallas(g: jnp.ndarray, w4: jnp.ndarray, kern: jnp.ndarray,
     taps, length, c4 = g.shape
     c = c4 // 4
     cout = kern.shape[-1]
+    out_dtype = kern.dtype if g.dtype == jnp.int8 else g.dtype
     if block_l is None:
         # VMEM budget: g/w4/out blocks are double-buffered by the
         # pipeline, the kernel block is resident. Size bl to stay under
@@ -104,7 +108,7 @@ def _contract_pallas(g: jnp.ndarray, w4: jnp.ndarray, kern: jnp.ndarray,
             pl.BlockSpec((taps, c, cout), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block_l, cout), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((g.shape[1], cout), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((g.shape[1], cout), out_dtype),
         interpret=interpret or INTERPRET,
     )(g, w4.astype(jnp.float32), kern)
     return out[:length]
@@ -253,3 +257,51 @@ def _bwd(interpret, res, ct):
 
 
 dcn_gather_contract.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------------- int8 gather table
+
+def quantize_packed_table(packed_flat: jnp.ndarray, kern: jnp.ndarray,
+                          eps: float = 1e-8):
+    """Per-channel int8 quantization of a ``pack_patches`` table.
+
+    The DCN gather is HBM-bandwidth-bound on the randomly-addressed
+    patch rows (round-4 roofline: ~22 ms of a ~30 ms backbone at v1b
+    serving geometry); int8 rows halve the gathered bytes IF the gather
+    is byte-bound at >=1 KB rows (tools/bench_gather.py decides).
+    Dequantization costs nothing at solve time: the per-channel scale is
+    folded into the conv kernel, so the contraction kernel only casts.
+
+    Args:
+        packed_flat: (R, 4c) float patch-row table.
+        kern: (taps, c, cout) conv kernel.
+
+    Returns ``(q_table int8 (R, 4c), kern_scaled (taps, c, cout))`` with
+    ``q @ fold(kern) ~= packed @ kern``. Channel scales are shared by the
+    4 corner copies of each channel (they hold the same values shifted
+    spatially, and the kernel contracts over the c axis only).
+    """
+    c4 = packed_flat.shape[-1]
+    c = c4 // 4
+    amax4 = jnp.max(jnp.abs(packed_flat.astype(jnp.float32)), axis=0)
+    ch_scale = jnp.maximum(jnp.max(amax4.reshape(4, c), axis=0), eps)
+    q = jnp.clip(jnp.round(
+        packed_flat.astype(jnp.float32)
+        / jnp.tile(ch_scale, 4) * 127.0), -127, 127).astype(jnp.int8)
+    kern_scaled = (kern.astype(jnp.float32)
+                   * (ch_scale / 127.0)[None, :, None]).astype(kern.dtype)
+    return q, kern_scaled
+
+
+def dcn_gather_contract_q(q_table: jnp.ndarray, rows: jnp.ndarray,
+                          w4: jnp.ndarray, kern_scaled: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Serving-only quantized twin of :func:`dcn_gather_contract`.
+
+    ``q_table``/``kern_scaled`` come from :func:`quantize_packed_table`.
+    Forward-only by design (no custom_vjp): the int8 gather path is a
+    serving optimization; training paths keep the float table.
+    Returns (L, cout) in ``kern_scaled.dtype``.
+    """
+    g = q_table[rows]
+    return _contract_pallas(g, w4, kern_scaled, interpret=interpret)

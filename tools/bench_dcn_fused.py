@@ -48,7 +48,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from epropnp_tpu.ops.pallas_dcn import dcn_gather_contract
+    from epropnp_tpu.ops.pallas_dcn import (
+        dcn_gather_contract, dcn_gather_contract_q, quantize_packed_table)
     from epropnp_tpu.ops.pallas_dcn_fused import dcn_fused_forward
 
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
@@ -99,8 +100,23 @@ def main():
     f_vmem = jax.jit(lambda: dcn_fused_forward(
         packed, rows, w4, kern, block_l=args.block_l, table_in_vmem=True))
 
+    # int8 decision inputs (VERDICT-r4 #4): quantized table gather rate
+    # + end-to-end quantized path (quantization recomputed per call, as
+    # serving would from live activations)
+    q0, kern_s0 = quantize_packed_table(packed, kern)
+    q0 = jax.block_until_ready(q0)
+    f_gather8 = jax.jit(lambda: q0[rows])
+
+    def _prod8():
+        q, kern_s = quantize_packed_table(packed, kern)
+        return dcn_gather_contract_q(q, rows, w4, kern_s)
+
+    f_prod8 = jax.jit(_prod8)
+
     timed(f_gather, 'xla_gather', 'xla_gather', results)
+    timed(f_gather8, 'xla_gather_i8', 'xla_gather_i8', results)
     ref = timed(f_prod, 'production', 'production', results)
+    timed(f_prod8, 'production_i8', 'production_i8', results)
     got = timed(f_dma, 'fused_dma', 'fused_dma', results)
     if ref is not None and got is not None:
         err = float(jnp.max(jnp.abs(

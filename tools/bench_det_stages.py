@@ -82,6 +82,10 @@ def main():
     ap.add_argument('--bf16-dense', action='store_true',
                     help='head dense stage (FCOS towers + key/value) bf16')
     ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--level-packed', action='store_true',
+                    help='composite-canvas FCOS towers (level_pack)')
+    ap.add_argument('--int8-gather', action='store_true',
+                    help='int8-quantized DCN gather tables (serving)')
     ap.add_argument('--split-dense', action='store_true',
                     help='sub-attribute det_dense (backbone/fpn/fcos/'
                          'corr) + XLA-cost-analysis MFU')
@@ -98,6 +102,10 @@ def main():
         cfg = dataclasses.replace(cfg, bf16_backbone=True)
     if args.bf16_dense:
         cfg = dataclasses.replace(cfg, bf16_dense=True)
+    if args.level_packed:
+        cfg = dataclasses.replace(cfg, level_packed_towers=True)
+    if args.int8_gather:
+        cfg = dataclasses.replace(cfg, int8_dcn_gather=True)
     model = build_detector(cfg)
 
     h, w, bs = args.height, args.width, args.bs

@@ -75,6 +75,10 @@ def main():
     ap.add_argument('--max-obj', type=int, default=256)
     ap.add_argument('--bf16', action='store_true')
     ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--level-packed', action='store_true',
+                    help='composite-canvas FCOS towers (level_pack)')
+    ap.add_argument('--int8-gather', action='store_true',
+                    help='int8-quantized DCN gather tables (serving)')
     ap.add_argument('--peak-tflops', type=float, default=197.0)
     ap.add_argument('--json-out', type=str, default='')
     args = ap.parse_args()
@@ -82,6 +86,10 @@ def main():
     cfg = DetConfig.v1b()
     if args.bf16:
         cfg = dataclasses.replace(cfg, bf16_backbone=True, bf16_dense=True)
+    if args.level_packed:
+        cfg = dataclasses.replace(cfg, level_packed_towers=True)
+    if args.int8_gather:
+        cfg = dataclasses.replace(cfg, int8_dcn_gather=True)
     if args.pallas:
         cfg = dataclasses.replace(
             cfg, pnp=dataclasses.replace(cfg.pnp, use_pallas=True))
