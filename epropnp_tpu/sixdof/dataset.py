@@ -133,9 +133,20 @@ def project_center(trans: np.ndarray, cam_k: np.ndarray):
 
 def change_bg(rgb: np.ndarray, msk: np.ndarray,
               bg_img: np.ndarray) -> np.ndarray:
-    """Substitute the background with ``bg_img``. Reference: lm.py:154-189."""
+    """Substitute the background with ``bg_img``. Reference: lm.py:154-189.
+
+    The background is cropped to the frame's aspect ratio before the
+    resize (reference ``load_bg_im``), so it is never anisotropically
+    stretched.
+    """
     h, w = rgb.shape[:2]
-    bg = cv2.resize(bg_img, (w, h))
+    bg_h, bg_w = bg_img.shape[:2]
+    if h / w <= bg_h / bg_w:
+        crop_w, crop_h = bg_w, int(bg_w * h / w)
+    else:
+        crop_h, crop_w = bg_h, int(bg_h * w / h)
+    bg = cv2.resize(bg_img[:crop_h, :crop_w],
+                    (w, h), interpolation=cv2.INTER_LINEAR)
     msk3 = (msk > 0)[..., None]
     return np.where(msk3, rgb, bg)
 
@@ -251,8 +262,31 @@ class LineMODDataset:
         self.change_bg_ratio = change_bg_ratio
         self.rng = np.random.default_rng(seed)
         self.annot = self._index()
-        self._bg_files = (sorted(os.listdir(bg_dir))
-                          if bg_dir and os.path.isdir(bg_dir) else [])
+        self._bg_files = self._index_bg(bg_dir)
+
+    @staticmethod
+    def _index_bg(bg_dir):
+        """Background image paths: VOC2012 layout or a flat directory.
+
+        The reference substitutes backgrounds from PASCAL VOC using the
+        ``diningtable_trainval.txt`` image list, keeping only stems
+        labeled ``1`` (lm.py:154-161: ``VOC2012/ImageSets/Main/...`` ->
+        ``VOC2012/JPEGImages/<stem>.jpg``). A plain directory of images
+        works too.
+        """
+        if not bg_dir or not os.path.isdir(bg_dir):
+            return []
+        voc = os.path.join(bg_dir, 'VOC2012')
+        lst = os.path.join(voc, 'ImageSets', 'Main',
+                           'diningtable_trainval.txt')
+        if os.path.isfile(lst):
+            with open(lst) as f:
+                stems = [ln.split()[0] for ln in f
+                         if len(ln.split()) >= 2 and ln.split()[1] == '1']
+            return [os.path.join(voc, 'JPEGImages', s + '.jpg')
+                    for s in stems]
+        return [os.path.join(bg_dir, fn)
+                for fn in sorted(os.listdir(bg_dir))]
 
     def _split_dir(self):
         return os.path.join(
@@ -308,9 +342,7 @@ class LineMODDataset:
         bg_img = None
         if (self.split == 'train' and self._bg_files and msk is not None
                 and self.rng.random() < self.change_bg_ratio):
-            bg_path = os.path.join(
-                self.bg_dir,
-                self._bg_files[self.rng.integers(len(self._bg_files))])
+            bg_path = self._bg_files[self.rng.integers(len(self._bg_files))]
             bg_img = cv2.cvtColor(cv2.imread(bg_path), cv2.COLOR_BGR2RGB)
         return build_sample(
             self.cfg, rec['cls'], rgb, coor, msk, pose, box,

@@ -23,6 +23,9 @@ def main():
     p.add_argument('--checkpoint', required=True)
     p.add_argument('--init', default='epnp', choices=['epnp', 'rslm'])
     p.add_argument('--batch-size', type=int, default=32)
+    p.add_argument('--smoke', action='store_true',
+                   help='CI smoke mode: tiny backbone/refiner matching '
+                        'train_6dof.py --smoke checkpoints')
     args = p.parse_args()
 
     import numpy as np
@@ -35,6 +38,15 @@ def main():
     from epropnp_tpu.utils.checkpoint import load_checkpoint
 
     cfg = SixDoFConfig(exp_id=args.exp)
+    if args.smoke:
+        import dataclasses
+        from epropnp_tpu.sixdof.config import PnPConfig
+        cfg = dataclasses.replace(
+            cfg,
+            network=dataclasses.replace(cfg.network, back_layers_num=18),
+            pnp=PnPConfig(mc_samples=16, num_iter=2, lm_num_iter=3,
+                          rs_num_points=8, rs_num_proposals=4,
+                          rs_num_iter=1))
     info_path = os.path.join(args.data, 'models', 'models_info.txt')
     if not os.path.isfile(info_path):
         p.error(f'missing {info_path}')

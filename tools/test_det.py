@@ -21,12 +21,15 @@ def main():
     enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--config', default='basic',
-                   choices=['basic', 'coord_regr', 'v1b'])
+                   choices=['basic', 'coord_regr', 'v1b', 'smoke'])
     p.add_argument('--checkpoint', required=True)
     p.add_argument('--ann', required=True, help='converter pickle')
     p.add_argument('--data', default='', help='nuScenes dataroot')
     p.add_argument('--out', default='runs/det_eval')
     p.add_argument('--batch-size', type=int, default=6)
+    p.add_argument('--img-hw', type=int, nargs=2, default=(672, 1600),
+                   help='inference geometry for model build (the jitted '
+                        'fn re-specializes to the actual batch shapes)')
     p.add_argument('--tta', action='store_true',
                    help='horizontal-flip test-time augmentation')
     p.add_argument('--timer', action='store_true')
@@ -56,8 +59,18 @@ def main():
             import dataclasses
             cfg = dataclasses.replace(cfg, dcn_modulation_scale=1.0)
     dataset = NuScenes3DDataset(args.ann, img_prefix=args.data)
-    model, variables = init_detector(cfg, args.checkpoint)
+    model, variables = init_detector(cfg, args.checkpoint,
+                                     img_hw=tuple(args.img_hw))
     timers = IterTimers(enabled=args.timer)
+
+    # jit ONCE and reuse across batches (a fresh make_inference_fn per
+    # batch would recompile every call); the tracer re-specializes per
+    # distinct batch shape only
+    from epropnp_tpu.det import test as dtest
+    make_fn = (dtest.make_tta_inference_fn if args.tta
+               else dtest.make_inference_fn)
+    infer_fn = jax.jit(make_fn(model, cfg))
+    tta = args.tta
 
     results = []
     bs = args.batch_size
@@ -67,7 +80,8 @@ def main():
                 for info in infos]
         cams = [np.asarray(info['cam_intrinsic']) for info in infos]
         _, out3d = inference_detector(model, variables, cfg, imgs, cams,
-                                      timers=timers)
+                                      infer_fn=infer_fn, timers=timers,
+                                      tta=tta)
         for per_img in out3d:
             results.append(dict(bbox_3d_results=per_img))
         print(f'\r{min(i + bs, len(dataset))}/{len(dataset)}', end='')

@@ -31,6 +31,15 @@ def main():
     p.add_argument('--data-parallel', action='store_true')
     p.add_argument('--batch-size', type=int, default=None)
     p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--bg-dir', default=None,
+                   help='background-substitution images: a PASCAL VOC '
+                        'root (VOC2012/... layout, reference behavior) '
+                        'or a flat image directory')
+    p.add_argument('--change-bg-ratio', type=float, default=0.5)
+    p.add_argument('--smoke', action='store_true',
+                   help='CI smoke mode: tiny backbone/solver so the '
+                        'full CLI path runs in minutes on CPU '
+                        '(NOT a training recipe)')
     args = p.parse_args()
 
     if args.exp in ('epropnp_cdpn_init', 'epropnp_cdpn_init_long'):
@@ -49,9 +58,23 @@ def main():
             train = dataclasses.replace(train, end_epoch=args.epochs)
         cfg = dataclasses.replace(cfg, train=train)
 
+    if args.smoke:
+        import dataclasses
+        from epropnp_tpu.sixdof.config import (
+            DataIterConfig, NetworkConfig, PnPConfig)
+        cfg = dataclasses.replace(
+            cfg,
+            network=dataclasses.replace(cfg.network, back_layers_num=18),
+            pnp=PnPConfig(mc_samples=16, num_iter=2, lm_num_iter=3,
+                          rs_num_points=8, rs_num_proposals=4,
+                          rs_num_iter=1),
+            dataiter=dataclasses.replace(cfg.dataiter, sample_points=64))
+
     from epropnp_tpu.sixdof.dataset import LineMODDataset
     from epropnp_tpu.sixdof.main import train_loop
-    dataset = LineMODDataset(cfg, args.data, split='train')
+    dataset = LineMODDataset(cfg, args.data, split='train',
+                             bg_dir=args.bg_dir,
+                             change_bg_ratio=args.change_bg_ratio)
     if len(dataset) == 0:
         p.error(f'no samples found under {args.data}')
     train_loop(cfg, dataset, args.save, resume_from=args.resume_from,

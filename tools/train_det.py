@@ -20,7 +20,7 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--config', default='basic',
                    choices=['basic', 'coord_regr', 'coord_regr_trainval',
-                            'no_reproj', 'v1b', 'v1b_220312'])
+                            'no_reproj', 'v1b', 'v1b_220312', 'smoke'])
     p.add_argument('--ann', required=True, nargs='+',
                    help='converter pickle(s); pass train+val for trainval')
     p.add_argument('--data', default='', help='nuScenes dataroot')
