@@ -20,7 +20,7 @@ def main():
     p.add_argument('--dir', required=True)
     p.add_argument('--checkpoint', required=True)
     p.add_argument('--config', default='basic',
-                   choices=['basic', 'coord_regr', 'v1b'])
+                   choices=['basic', 'coord_regr', 'v1b', 'smoke'])
     p.add_argument('--intrinsic', required=True,
                    help='9 comma-separated values of K, row major')
     p.add_argument('--out', default='vis')
@@ -52,10 +52,15 @@ def main():
     model, variables = init_detector(cfg, args.checkpoint, img_hw=hw)
 
     os.makedirs(args.out, exist_ok=True)
+    # jit once; reused across frames (shapes are constant per folder)
+    import jax
+    from epropnp_tpu.det import test as dtest
+    infer_fn = jax.jit(dtest.make_inference_fn(model, cfg))
     for fn in files:
         img = cv2.imread(os.path.join(args.dir, fn))
         _, out3d = inference_detector(model, variables, cfg,
-                                      [img[..., ::-1]], [k])
+                                      [img[..., ::-1]], [k],
+                                      infer_fn=infer_fn)
         boxes, labels = [], []
         for c, arr in enumerate(out3d[0]):
             for row in arr:

@@ -23,7 +23,7 @@ def main():
     p.add_argument('--data', default='')
     p.add_argument('--checkpoint', required=True)
     p.add_argument('--config', default='basic',
-                   choices=['basic', 'coord_regr', 'v1b'])
+                   choices=['basic', 'coord_regr', 'v1b', 'smoke'])
     p.add_argument('--cam', default='CAM_FRONT')
     p.add_argument('--out', default='seq_vis')
     p.add_argument('--score-thr', type=float, default=0.3)
@@ -56,7 +56,10 @@ def main():
         hw = (_CB[3] - _CB[1], _CB[2] - _CB[0])
     model, variables = init_detector(cfg, args.checkpoint, img_hw=hw)
     os.makedirs(args.out, exist_ok=True)
-    infer_fn = None
+    # jit once; reused across frames (shapes are constant per sequence)
+    import jax
+    from epropnp_tpu.det import test as dtest
+    infer_fn = jax.jit(dtest.make_inference_fn(model, cfg))
     for fi, info in enumerate(infos):
         img = cv2.imread(os.path.join(args.data, info['img_path']))
         k = np.asarray(info['cam_intrinsic'])

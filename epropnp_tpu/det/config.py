@@ -155,6 +155,20 @@ class DetConfig:
             train=DetTrainConfig(roi_shape=(14, 14)))
 
     @classmethod
+    def v1b_serving(cls):
+        """v1b with every serving-side TPU optimization enabled: bf16
+        backbone+dense, fused Pallas PnP kernels, level-packed FCOS
+        towers, int8 DCN gather tables. Numerics: head/PnP stay f32;
+        int8 affects only the DCN sampling reads (<1% contraction
+        error, tests/test_int8_dcn.py). NOT for training (int8 path is
+        forward-only)."""
+        base = cls.v1b()
+        return dataclasses.replace(
+            base, bf16_backbone=True, bf16_dense=True,
+            level_packed_towers=True, int8_dcn_gather=True,
+            pnp=dataclasses.replace(base.pnp, use_pallas=True))
+
+    @classmethod
     def smoke(cls):
         """CI smoke model: tiny backbone/head/solver so the full CLI
         path (converter pickles -> dataset -> train -> eval ->

@@ -189,6 +189,25 @@ def test_nuscenes_converter_and_det_cli_drill(tmp_path, monkeypatch):
     # metric printout: devkit 'NDS' or the self-contained 'nd_score'
     assert 'NDS' in proc.stdout or 'nd_score' in proc.stdout
 
+    # demo scripts against the same files (VERDICT-r4 §2.3 partial:
+    # they were import-checked only, never driven end-to-end)
+    import fake_nuscenes as fn
+    vis = str(tmp_path / 'vis')
+    _run_cli(['demo/infer_imgs.py', '--dir', os.path.join(root, 'samples'),
+              '--checkpoint', ckpt, '--config', 'smoke',
+              '--intrinsic', f'{fn.FOCAL},0,{fn.IMG_W / 2},'
+                             f'0,{fn.FOCAL},{fn.IMG_H / 2},0,0,1',
+              '--out', vis, '--score-thr', '0.0'])
+    assert any(f.endswith('.png') or f.endswith('.jpg')
+               for f in os.listdir(vis)), os.listdir(vis)
+    seq = str(tmp_path / 'seq')
+    _run_cli(['demo/infer_nuscenes_sequence.py',
+              '--ann', prefix + '_val.pkl', '--data', root,
+              '--checkpoint', ckpt, '--config', 'smoke',
+              '--cam', 'CAM_FRONT', '--out', seq, '--max-frames', '2',
+              '--score-thr', '0.0'])
+    assert len(os.listdir(seq)) >= 1, os.listdir(seq)
+
 
 def test_linemod_voc_bg_ingestion(tmp_path):
     """LineMODDataset reads VOC-layout backgrounds and substitutes them."""

@@ -74,6 +74,76 @@ def test_deform_conv_packed_parity():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_fcos_head_packed_gradient_parity():
+    """Gradients through the packed forward match the per-level path."""
+    shapes = ((8, 20), (4, 10), (2, 5))
+    feats = _pyramid(seed=9, c=16, shapes=shapes, n=1)
+    kw = dict(num_classes=3, in_channels=16, feat_channels=16,
+              emb_channels=8, strides=(8, 16, 32),
+              regress_ranges=((-1, 48), (48, 96), (96, 1e8)),
+              cls_branch=(16,), centerness_branch=(8,),
+              offset_branch=(16,), emb_branch=(16,))
+    head_ref = FCOSEmbHead(**kw)
+    head_pk = FCOSEmbHead(level_packed=True, **kw)
+    var = head_ref.init(jax.random.PRNGKey(0), tuple(feats))
+    r = np.random.default_rng(4)
+    var = jax.tree.map(
+        lambda p: jnp.asarray(r.normal(scale=0.1, size=p.shape), p.dtype),
+        var)
+
+    def loss(head):
+        def f(params):
+            outs = head.apply({'params': params}, tuple(feats))
+            return sum(jnp.sum(o.cls_score ** 2) + jnp.sum(o.obj_emb ** 2)
+                       + jnp.sum(o.center ** 2) for o in outs)
+        return f
+
+    g_ref = jax.grad(loss(head_ref))(var['params'])
+    g_pk = jax.grad(loss(head_pk))(var['params'])
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_pk)}
+    for k, v in flat_r:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_p[key]), np.asarray(v),
+            rtol=5e-4, atol=5e-5, err_msg=key)
+
+
+def test_detector_dense_packed_parity():
+    """EProPnPDet.det_dense with level_packed_towers on == off."""
+    from epropnp_tpu.models.detectors.epropnp_det import EProPnPDet
+    kw = dict(num_classes=3, backbone_depth=18, backbone_dcn_stages=(),
+              embed_dims=32, num_heads=4, num_points=4,
+              strides=(4, 8, 16, 32), output_stride=4, num_attrs=4,
+              dcn_on_last_conv=True,
+              detector_cfg=dict(feat_channels=32, emb_channels=32,
+                                cls_branch=(32,), centerness_branch=(16,),
+                                offset_branch=(32,), emb_branch=(32,),
+                                regress_ranges=((-1, 16), (16, 32),
+                                                (32, 1e8))))
+    model = EProPnPDet(**kw)
+    model_pk = EProPnPDet(level_packed_towers=True, **kw)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)),
+                      jnp.float32)
+    var = model.init(jax.random.PRNGKey(0), img, (64, 64))
+    ref_outs, ref_key, ref_val = model.apply(
+        var, img, (64, 64), method=model.det_dense)
+    got_outs, got_key, got_val = model_pk.apply(
+        var, img, (64, 64), method=model_pk.det_dense)
+    np.testing.assert_allclose(np.asarray(got_key), np.asarray(ref_key),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_val), np.asarray(ref_val),
+                               rtol=1e-5, atol=1e-5)
+    for lo_r, lo_g in zip(ref_outs, got_outs):
+        np.testing.assert_allclose(np.asarray(lo_g.cls_score),
+                                   np.asarray(lo_r.cls_score),
+                                   rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(lo_g.obj_emb),
+                                   np.asarray(lo_r.obj_emb),
+                                   rtol=3e-5, atol=3e-5)
+
+
 @pytest.mark.parametrize('offset_cls_agnostic', [True, False])
 def test_fcos_head_packed_parity(offset_cls_agnostic):
     """Full FCOSEmbHead: packed forward == per-level forward."""
