@@ -112,6 +112,44 @@ def test_fcos_head_packed_gradient_parity():
             rtol=5e-3, atol=1e-4, err_msg=key)
 
 
+@pytest.mark.slow
+def test_det_train_step_with_packed_towers():
+    """One full Det train step with level_packed_towers on: finite losses.
+
+    The packed path is training-safe (gradient parity pinned above);
+    this exercises the whole-step plumbing (targets, sampler, PnP,
+    optimizer) through the composite-canvas towers.
+    """
+    import epropnp_tpu.det.train as dtrain
+    import test_det_train as tdt
+    cfg = tdt.tiny_cfg()
+    model_kw = dict(
+        num_classes=cfg.num_classes, backbone_depth=cfg.backbone_depth,
+        backbone_dcn_stages=(), embed_dims=cfg.embed_dims,
+        num_heads=cfg.num_heads, num_points=cfg.num_points,
+        strides=cfg.strides, output_stride=cfg.output_stride,
+        num_attrs=cfg.num_attrs, dcn_on_last_conv=True,
+        level_packed_towers=True,
+        detector_cfg=dict(
+            feat_channels=32, emb_channels=cfg.embed_dims,
+            cls_branch=(32,), centerness_branch=(16,), offset_branch=(32,),
+            emb_branch=(32,),
+            regress_ranges=((-1, 16), (16, 32), (32, 1e8))))
+    from epropnp_tpu.models.detectors.epropnp_det import EProPnPDet
+    model = EProPnPDet(**model_kw)
+    batch = tdt.make_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch.img,
+                           (tdt.H, tdt.W))
+    tx = dtrain.make_optimizer(cfg)
+    state = dtrain.DetTrainState.create(variables, tx)
+    step = jax.jit(dtrain.make_train_step(model, cfg, tx))
+    new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+    vals = {k: float(np.ravel(v)[0]) for k, v in
+            jax.device_get(losses).items()}
+    bad = [k for k, v in vals.items() if not np.isfinite(v)]
+    assert not bad, f'non-finite losses with packed towers: {bad}'
+
+
 def test_detector_dense_packed_parity():
     """EProPnPDet.det_dense with level_packed_towers on == off."""
     from epropnp_tpu.models.detectors.epropnp_det import EProPnPDet

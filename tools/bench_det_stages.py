@@ -72,6 +72,10 @@ def timed(fn, args, iters, name):
 
 
 def main():
+    # bounded-backoff device probe: a tunnel wedge must fail
+    # loudly here, not hang the whole measurement session
+    from epropnp_tpu.utils.backend_retry import wait_for_backend
+    wait_for_backend(fallback_cpu=False)
     ap = argparse.ArgumentParser()
     ap.add_argument('--height', type=int, default=672)
     ap.add_argument('--width', type=int, default=1600)

@@ -40,6 +40,10 @@ def timed(fn, args, iters, name):
 
 
 def main():
+    # bounded-backoff device probe: a tunnel wedge must fail
+    # loudly here, not hang the whole measurement session
+    from epropnp_tpu.utils.backend_retry import wait_for_backend
+    wait_for_backend(fallback_cpu=False)
     r = np.random.default_rng(0)
     h, w = 56, 100
     n_pos = h * w * 9  # positions x taps for one DCN layer at stride 16
