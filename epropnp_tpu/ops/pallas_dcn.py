@@ -304,4 +304,8 @@ def dcn_gather_contract_q(q_table: jnp.ndarray, rows: jnp.ndarray,
     Returns (L, cout) in ``kern_scaled.dtype``.
     """
     g = q_table[rows]
-    return _contract_pallas(g, w4, kern_scaled, interpret=interpret)
+    # unlike the float fused path (auto-selected off-CPU), this path is
+    # config-forced — run interpreted on CPU so int8 configs stay usable
+    return _contract_pallas(g, w4, kern_scaled,
+                            interpret=interpret
+                            or jax.default_backend() == 'cpu')

@@ -86,7 +86,9 @@ def v1b_small_cfg(use_pallas: bool = False) -> DetConfig:
 PRESETS = {'small': small_cfg, 'v1b_small': v1b_small_cfg}
 
 
-def build_model(cfg: DetConfig) -> EProPnPDet:
+def build_model(cfg: DetConfig, dcn: bool = False,
+                int8_gather: bool = False,
+                level_packed: bool = False) -> EProPnPDet:
     # one regress range per FCOS level (strides 8..): 24px doubling,
     # scaled to the study's 128x224 scenes
     n_fcos = len(cfg.strides) - cfg.strides.index(8)
@@ -97,7 +99,8 @@ def build_model(cfg: DetConfig) -> EProPnPDet:
         backbone_dcn_stages=(), embed_dims=cfg.embed_dims,
         num_heads=cfg.num_heads, num_points=cfg.num_points,
         strides=cfg.strides, output_stride=cfg.output_stride,
-        num_attrs=cfg.num_attrs, dcn_on_last_conv=False,
+        num_attrs=cfg.num_attrs, dcn_on_last_conv=dcn,
+        dcn_int8_gather=int8_gather, level_packed_towers=level_packed,
         use_cls_emb=cfg.use_cls_emb, dim_cls_agnostic=cfg.dim_cls_agnostic,
         offset_cls_agnostic=cfg.offset_cls_agnostic,
         detector_cfg=dict(
@@ -228,7 +231,7 @@ def evaluate_nds(results_3d, gt_scenes, score_thr: float = 0.05):
 
 def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
               seed=0, iou_thr=0.25, pallas=False, log=print,
-              preset='small'):
+              preset='small', dcn=False, eval_variants=False):
     """Train the small-but-real Det stack on ``pool * bs`` synthetic
     scenes and score held-out scenes with the devkit-free nuScenes
     metrics after every ``eval_every`` steps.
@@ -237,7 +240,7 @@ def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
     **best_metrics}`` — shared by the CLI convergence study and the slow
     floor-asserting test (tests/test_det_synthetic.py)."""
     cfg = PRESETS[preset](pallas)
-    model = build_model(cfg)
+    model = build_model(cfg, dcn=dcn)
     gen = SyntheticDetSceneGenerator(im_hw=IM_HW, num_classes=NCLS,
                                      max_gt=GMAX, lidar_points=PTS)
     rng_np = np.random.default_rng(seed)
@@ -263,14 +266,15 @@ def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
     infer = jax.jit(make_inference_fn(model, cfg, max_obj_per_img=64,
                                       min_fcos_score=0.04))
 
-    def run_eval(state):
+    def run_eval(state, infer_fn=None):
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
-        res = infer(variables, eval_batch.img, eval_batch.cam_intrinsic,
-                    eval_batch.img_shapes, eval_batch.ori_shapes,
-                    eval_batch.img_flips, eval_batch.img_dense_x2d,
-                    eval_batch.img_dense_x2d_mask,
-                    jax.random.PRNGKey(123))
+        res = (infer_fn or infer)(
+            variables, eval_batch.img, eval_batch.cam_intrinsic,
+            eval_batch.img_shapes, eval_batch.ori_shapes,
+            eval_batch.img_flips, eval_batch.img_dense_x2d,
+            eval_batch.img_dense_x2d_mask,
+            jax.random.PRNGKey(123))
         _, res3d = results_to_numpy(res, eval_scenes, NCLS)
         m = evaluate(res3d, eval_sc, iou_thr=iou_thr)
         nds = evaluate_nds(res3d, eval_sc)
@@ -312,8 +316,30 @@ def run_study(steps=600, bs=4, pool=64, eval_scenes=16, eval_every=100,
         f'precision={m["precision"]:.3f} mATE={m["mate"]:.3f} '
         f'mASE={m["mase"]:.3f} mAOE={m["maoe"]:.3f} '
         f'({m["n_tp"]}/{m["n_gt"]} GT matched @ IoU {iou_thr})')
-    return dict(best_step=best_step, ms_per_step=ms_per_step,
-                curve=curve, **m)
+    out = dict(best_step=best_step, ms_per_step=ms_per_step,
+               curve=curve, **m)
+    if eval_variants:
+        # Re-score the FINAL trained state under the serving-optimized
+        # model variants (same parameters — the variants only change the
+        # execution path): the int8-gather and level-packed quality
+        # deltas on a converged model, end-to-end through NMS + NDS.
+        variants = {'packed': dict(dcn=dcn, level_packed=True)}
+        if dcn:
+            variants['int8'] = dict(dcn=True, int8_gather=True)
+            variants['packed_int8'] = dict(dcn=True, int8_gather=True,
+                                           level_packed=True)
+        out['variants'] = {}
+        for name, kw in variants.items():
+            vm = build_model(cfg, **kw)
+            v_infer = jax.jit(make_inference_fn(vm, cfg,
+                                                max_obj_per_img=64,
+                                                min_fcos_score=0.04))
+            mv = run_eval(state, v_infer)
+            log(f'variant {name}: NDS={mv["nds"]:.3f} mAP={mv["map"]:.3f} '
+                f'(float final: NDS={curve[-1][1]["nds"]:.3f})')
+            out['variants'][name] = dict(nds=mv['nds'], map=mv['map'],
+                                         mate=mv['mate'], maoe=mv['maoe'])
+    return out
 
 
 def main():
@@ -329,6 +355,12 @@ def main():
     ap.add_argument('--pallas', action='store_true')
     ap.add_argument('--preset', type=str, default='small',
                     choices=sorted(PRESETS))
+    ap.add_argument('--dcn', action='store_true',
+                    help='deformable last tower convs (the int8/fused '
+                         'gather paths need a DCN to exercise)')
+    ap.add_argument('--eval-variants', action='store_true',
+                    help='re-score the final state under the serving '
+                         'variants (level-packed, int8 gather)')
     ap.add_argument('--json-out', type=str, default='')
     args = ap.parse_args()
 
@@ -336,7 +368,8 @@ def main():
                     eval_scenes=args.eval_scenes,
                     eval_every=args.eval_every, seed=args.seed,
                     iou_thr=args.iou_thr, pallas=args.pallas,
-                    preset=args.preset,
+                    preset=args.preset, dcn=args.dcn,
+                    eval_variants=args.eval_variants,
                     log=lambda *a: print(*a, flush=True))
     if args.json_out:
         with open(args.json_out, 'w') as f:
