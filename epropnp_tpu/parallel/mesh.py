@@ -46,6 +46,25 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
         lambda a: jax.device_put(a, sharding), tree)
 
 
+def data_parallel_infer(infer_fn, mesh: Mesh, axis_name: str = 'data',
+                        n_batch_args: int = 7):
+    """Wrap a serving ``infer(variables, *batch_args, rng)`` in shard_map.
+
+    The TPU-native counterpart of the reference's multi-GPU dist test
+    (tools/dist_test.sh spawning one ``single_gpu_test`` per rank): the
+    image batch shards along its leading axis, parameters and the rng
+    replicate, and per-shard results concatenate back on the leading
+    axis (inference has no cross-image dependencies, so no collectives
+    are emitted). Per-image batch size must divide by the mesh size.
+    """
+    batch_specs = (P(axis_name),) * n_batch_args
+    return jax.jit(shard_map(
+        infer_fn, mesh=mesh,
+        in_specs=(P(),) + batch_specs + (P(),),
+        out_specs=P(axis_name),
+        check_vma=False))
+
+
 def data_parallel_step(step_fn, mesh: Mesh, batch_example: Any,
                        axis_name: str = 'data'):
     """Wrap ``step_fn(state, batch, rng) -> (state, metrics)`` in shard_map.

@@ -32,6 +32,9 @@ def main():
                         'fn re-specializes to the actual batch shapes)')
     p.add_argument('--tta', action='store_true',
                    help='horizontal-flip test-time augmentation')
+    p.add_argument('--data-parallel', action='store_true',
+                   help='shard the image batch over all devices '
+                        '(batch size must divide by the device count)')
     p.add_argument('--timer', action='store_true')
     args = p.parse_args()
 
@@ -69,7 +72,19 @@ def main():
     from epropnp_tpu.det import test as dtest
     make_fn = (dtest.make_tta_inference_fn if args.tta
                else dtest.make_inference_fn)
-    infer_fn = jax.jit(make_fn(model, cfg))
+    if args.data_parallel and jax.device_count() > 1:
+        # reference dist-test equivalent: shard images over the mesh
+        from epropnp_tpu.parallel import data_parallel_infer, make_mesh
+        if args.batch_size % jax.device_count():
+            p.error(f'--batch-size {args.batch_size} must divide by '
+                    f'{jax.device_count()} devices')
+        n_args = 9 if args.tta else 7
+        infer_fn = data_parallel_infer(make_fn(model, cfg),
+                                       make_mesh(), n_batch_args=n_args)
+        # ragged final batch falls back to a single-device jit
+        infer_fn_tail = jax.jit(make_fn(model, cfg))
+    else:
+        infer_fn = infer_fn_tail = jax.jit(make_fn(model, cfg))
     tta = args.tta
 
     results = []
@@ -79,8 +94,10 @@ def main():
         imgs = [cv2.imread(os.path.join(args.data, info['img_path']))[..., ::-1]
                 for info in infos]
         cams = [np.asarray(info['cam_intrinsic']) for info in infos]
+        fn = (infer_fn if len(infos) % jax.device_count() == 0
+              else infer_fn_tail)
         _, out3d = inference_detector(model, variables, cfg, imgs, cams,
-                                      infer_fn=infer_fn, timers=timers,
+                                      infer_fn=fn, timers=timers,
                                       tta=tta)
         for per_img in out3d:
             results.append(dict(bbox_3d_results=per_img))
