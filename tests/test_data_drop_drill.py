@@ -209,6 +209,67 @@ def test_nuscenes_converter_and_det_cli_drill(tmp_path, monkeypatch):
     assert len(os.listdir(seq)) >= 1, os.listdir(seq)
 
 
+def test_kitti_tree_ingestion_and_eval(tmp_path):
+    """Fake KITTI label_2/calib/image_2 tree -> dataset -> AP eval."""
+    import cv2
+    from epropnp_tpu.det.kitti_dataset import (
+        KITTI3DCarDataset, KITTI3DDataset)
+
+    root = str(tmp_path / 'kitti')
+    for sub in ('label_2', 'calib', 'image_2'):
+        os.makedirs(os.path.join(root, sub))
+    r = np.random.default_rng(11)
+    n = 4
+    for i in range(n):
+        sid = f'{i:06d}'
+        rows = []
+        for j in range(2):
+            x1, y1 = 100 + 80 * j, 120
+            rows.append(
+                f'Car 0.00 0 -1.57 {x1:.2f} {y1:.2f} {x1 + 60:.2f} '
+                f'{y1 + 50:.2f} 1.53 1.63 3.88 '
+                f'{-2 + 2 * j:.2f} 1.65 {8 + 3 * j:.2f} -1.56')
+        rows.append('DontCare -1 -1 -10 0 0 30 30 -1 -1 -1 '
+                    '-1000 -1000 -1000 -10')
+        with open(os.path.join(root, 'label_2', sid + '.txt'), 'w') as f:
+            f.write('\n'.join(rows) + '\n')
+        p2 = '721.5 0 609.6 44.9 0 721.5 172.9 0.2 0 0 1 0.003'
+        with open(os.path.join(root, 'calib', sid + '.txt'), 'w') as f:
+            f.write('P0: ' + p2 + '\nP2: ' + p2 + '\n')
+        cv2.imwrite(os.path.join(root, 'image_2', sid + '.png'),
+                    r.integers(0, 255, (370, 1224, 3)).astype(np.uint8))
+    # split file selects a subset
+    split = str(tmp_path / 'train.txt')
+    with open(split, 'w') as f:
+        f.write('000000\n000001\n000002\n')
+
+    ds = KITTI3DDataset(root)
+    assert len(ds) == n
+    ds_split = KITTI3DCarDataset(root, split_file=split)
+    assert len(ds_split) == 3
+    ann = ds.get_ann(0)
+    assert (np.asarray(ann['name']) == 'Car').sum() == 2
+    k = ds.get_calib(0)
+    assert k.shape == (3, 3) and abs(k[0, 0] - 721.5) < 1e-6
+    assert os.path.isfile(ds.image_path(0))
+
+    # perfect detections (GT echoed with scores) -> near-perfect AP
+    dts = []
+    for i in range(len(ds_split)):
+        gt = ds_split.get_ann(i)
+        dt = {key: np.asarray(val) for key, val in gt.items()}
+        keep = np.asarray(gt['name']) == 'Car'
+        dt = {key: np.asarray(val)[keep] for key, val in dt.items()}
+        dt['score'] = np.linspace(0.9, 0.8, keep.sum())
+        dts.append(dt)
+    out = ds_split.evaluate(dts, coco_style=True)
+    assert out, 'empty eval output'
+    # echoed-GT detections must score near-perfect AP on some Car metric
+    car_aps = [v for key, v in out.items()
+               if 'Car' in key and np.isscalar(v)]
+    assert car_aps and max(car_aps) > 0.9, out
+
+
 def test_linemod_voc_bg_ingestion(tmp_path):
     """LineMODDataset reads VOC-layout backgrounds and substitutes them."""
     import cv2
