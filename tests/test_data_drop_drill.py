@@ -189,6 +189,16 @@ def test_nuscenes_converter_and_det_cli_drill(tmp_path, monkeypatch):
     # metric printout: devkit 'NDS' or the self-contained 'nd_score'
     assert 'NDS' in proc.stdout or 'nd_score' in proc.stdout
 
+    # flip-TTA path through the same CLI (was silently a no-op before
+    # round 5; now it must execute the TTA inference graph end-to-end)
+    out_tta = str(tmp_path / 'eval_tta')
+    proc = _run_cli(['tools/test_det.py', '--config', 'smoke',
+                     '--checkpoint', ckpt, '--ann', prefix + '_val.pkl',
+                     '--data', root, '--out', out_tta, '--batch-size', '2',
+                     '--img-hw', '128', '256', '--tta'])
+    assert 'NDS' in proc.stdout or 'nd_score' in proc.stdout
+    assert any(f.endswith('.json') for f in os.listdir(out_tta))
+
     # demo scripts against the same files (VERDICT-r4 §2.3 partial:
     # they were import-checked only, never driven end-to-end)
     import fake_nuscenes as fn
