@@ -178,6 +178,10 @@ def main():
         'value': round(solves_per_sec, 2),
         'unit': 'solves/s',
         'vs_baseline': round(vs, 3) if vs is not None else None,
+        # 'cpu' marks the emergency fallback when the device tunnel is
+        # unreachable — not comparable to the TPU numbers (~160k on
+        # 1x v5e, see STATUS.md)
+        'platform': platform,
     }))
 
 
